@@ -1,0 +1,129 @@
+"""Checkpoint manifest — per-stage, per-partition lineage + metrics.
+
+The principled version of the reference's incremental-reprocessing machinery:
+``processed`` flags updated per row (reference:
+src/core/util/definitions_sql.py:28-45, used
+src/core/feature_extraction/features.py:371,440-442) and the sentence cache
+probe-before-compute (reference: src/core/feature_extraction/util.py:728-763).
+
+Keyed by a **content fingerprint** of the input (file names + sizes + build
+config), never by wall-clock time, so resume decisions are deterministic
+(SURVEY.md §7 hard-part (c)).  A stage is reusable iff its manifest entry
+matches the current fingerprint AND its output files exist; otherwise it is
+(re)built.  Per-partition metric rows (docs tokenized, postings emitted,
+bytes compressed) are derived from the stage's committed output, so they are
+always consistent with what is actually on disk.
+
+Storage: one JSON file per stage under ``<index_dir>/_manifest/``, written
+atomically (tmp + rename).  ``load_manifest_df`` exposes the whole manifest
+as a DataFrame for inspection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+
+def corpus_fingerprint(corpus_path: str, conf: dict | None = None) -> str:
+    """Deterministic fingerprint of a parquet dataset + build config:
+    sha256 over sorted (relative file name, size) pairs and the config."""
+    entries = []
+    for root, _dirs, files in os.walk(corpus_path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            entries.append((os.path.relpath(p, corpus_path), os.path.getsize(p)))
+    entries.sort()
+    h = hashlib.sha256()
+    h.update(json.dumps(entries, sort_keys=True).encode())
+    h.update(json.dumps(conf or {}, sort_keys=True).encode())
+    return h.hexdigest()
+
+
+class Manifest:
+    def __init__(self, index_dir: str) -> None:
+        self.dir = os.path.join(index_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{stage}.json")
+
+    def stage_complete(self, stage: str, fingerprint: str, output_path: str) -> bool:
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        if rec.get("status") != "complete" or rec.get("input_fingerprint") != fingerprint:
+            return False
+        # output must still exist and carry a parquet success marker
+        return os.path.exists(os.path.join(output_path, "_SUCCESS"))
+
+    def commit_stage(
+        self,
+        stage: str,
+        fingerprint: str,
+        partitions: list[dict],
+        totals: dict | None = None,
+    ) -> None:
+        """Atomically record a completed stage.
+
+        ``partitions``: list of per-partition metric dicts, e.g.
+        ``{"partition_id": 3, "postings_emitted": 123, "bytes_compressed": 456}``.
+        """
+        rec = {
+            "stage": stage,
+            "status": "complete",
+            "input_fingerprint": fingerprint,
+            "partitions": partitions,
+            "totals": totals or {},
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._path(stage))
+
+    def read_stage(self, stage: str) -> dict | None:
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def rows(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, fn)) as f:
+                rec = json.load(f)
+            for part in rec.get("partitions", [{}]):
+                out.append(
+                    {
+                        "stage": rec["stage"],
+                        "partition_id": int(part.get("partition_id", -1)),
+                        "input_fingerprint": rec["input_fingerprint"],
+                        "docs_tokenized": int(part.get("docs_tokenized", 0)),
+                        "postings_emitted": int(part.get("postings_emitted", 0)),
+                        "bytes_compressed": int(part.get("bytes_compressed", 0)),
+                        "status": rec["status"],
+                    }
+                )
+        return out
+
+
+def load_manifest_df(spark, index_dir: str):
+    rows = Manifest(index_dir).rows()
+    schema = (
+        "stage string, partition_id int, input_fingerprint string, "
+        "docs_tokenized long, postings_emitted long, bytes_compressed long, "
+        "status string"
+    )
+    return spark.createDataFrame(rows, schema=schema)

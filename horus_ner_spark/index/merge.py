@@ -1,0 +1,159 @@
+"""Sort-merge posting-merge stage — combine index segments into one index.
+
+North-rule requirement: "a sort-merge posting-merge stage" with
+"posting-merge idempotence" tested.  The use case is incremental indexing:
+each new corpus segment (e.g. a batch of new commits) is SPIMI-built
+independently (build.py), then merged.  Reference analog: the memoized
+term cache growing monotonically across runs via INSERT-if-absent
+(reference: src/core/util/sqlite_helper.py:42-48).
+
+Why merging is cheap here: blocks are self-contained (codec.py) and carry
+doc_ids, tfs, AND doclens, so merging segment postings for a term is
+decode -> k-way sorted concat -> re-block -> re-encode, entirely inside one
+``(term, range_bucket)`` group — no global pass.  What is NOT local:
+BM25 ``block_max_score`` depends on corpus-level df/avgdl, which change on
+merge, so merged df (groupBy term) and merged corpus stats (weighted avgdl)
+are recomputed first and joined in.
+
+Canonical-form guarantee (what makes merge idempotent & associative): the
+output blocks for a (term, rb) group are a pure function of the SET of
+postings in the group — sort by doc_id, dedupe (first wins), chunk at
+block_size.  Hence merge(merge(a,b),c) == merge(a,b,c) == merge(a,merge(b,c)),
+asserted in tests/test_merge.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from horus_ner_spark.index import bm25
+from horus_ner_spark.index.build import (
+    BLOCK_SIZE,
+    N_PBUCKETS,
+    POSTINGS_SCHEMA,
+    RANGE_BITS,
+    IndexPaths,
+)
+from horus_ner_spark.index.codec import decode_block, encode_block, vb_decode, vb_encode
+
+
+def _reblock_factory(n_docs: int, avgdl: float, block_size: int):
+    def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        df = int(pdf["df"].iloc[0])
+        docs_l, tfs_l, dls_l = [], [], []
+        for _, row in pdf.iterrows():
+            d, t = decode_block(bytes(row["doc_ids_vb"]), bytes(row["tfs_vb"]))
+            docs_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(vb_decode(bytes(row["doclens_vb"])).view(np.int64))
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.argsort(docs, kind="mergesort")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        if len(docs) > 1:  # dedupe identical doc_ids (overlapping segments)
+            keep = np.empty(len(docs), dtype=bool)
+            keep[0] = True
+            keep[1:] = docs[1:] != docs[:-1]
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        t_idf = bm25.idf(n_docs, df)
+        scores = t_idf * (
+            tfs * (bm25.K1 + 1.0)
+            / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls.astype(np.float64) / avgdl))
+        )
+        rows = []
+        for start in range(0, len(docs), block_size):
+            d = docs[start : start + block_size]
+            dvb, tvb = encode_block(d, tfs[start : start + block_size])
+            rows.append(
+                {
+                    "term": term,
+                    "block_id": start // block_size,
+                    "min_doc_id": int(d[0]),
+                    "max_doc_id": int(d[-1]),
+                    "n_postings": len(d),
+                    "block_max_score": float(scores[start : start + block_size].max()),
+                    "doc_ids_vb": dvb,
+                    "tfs_vb": tvb,
+                    "doclens_vb": vb_encode(
+                        dls[start : start + block_size].astype(np.uint64)
+                    ),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return reblock
+
+
+def merge_indexes(
+    spark: SparkSession,
+    segments: list[IndexPaths],
+    out_dir: str,
+    block_size: int = BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    n_pbuckets: int = N_PBUCKETS,
+) -> IndexPaths:
+    """Merge N built index segments into a canonical combined index."""
+    out = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # docs / doclens: plain unions (dedupe by doc_id, first wins)
+    docs = None
+    doclens = None
+    for seg in segments:
+        d = spark.read.parquet(seg.docs)
+        dl = spark.read.parquet(seg.doclens)
+        docs = d if docs is None else docs.unionByName(d)
+        doclens = dl if doclens is None else doclens.unionByName(dl)
+    docs = docs.dropDuplicates(["doc_id"])
+    doclens = doclens.dropDuplicates(["doc_id"])
+    docs.write.mode("overwrite").parquet(out.docs)
+    doclens.write.mode("overwrite").parquet(out.doclens)
+
+    # merged corpus stats
+    n_docs = spark.read.parquet(out.docs).count()
+    total_len = spark.read.parquet(out.doclens).agg(F.sum("doclen").alias("t")).collect()[0]["t"] or 0
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out.corpus_stats)
+
+    # merged tf (kept for the brute-force oracle path) + term stats
+    tf = None
+    for seg in segments:
+        t = spark.read.parquet(seg.tf)
+        tf = t if tf is None else tf.unionByName(t)
+    tf = tf.dropDuplicates(["doc_id", "term"])
+    tf.write.mode("overwrite").parquet(out.tf)
+    tf = spark.read.parquet(out.tf)
+    (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(out.term_stats)
+    )
+
+    # sort-merge the posting blocks per (term, range_bucket)
+    blocks = None
+    for seg in segments:
+        b = spark.read.parquet(seg.postings).drop("pbucket")
+        blocks = b if blocks is None else blocks.unionByName(b)
+    term_df = spark.read.parquet(out.term_stats).select("term", "df")
+    grouped = blocks.join(term_df, "term").withColumn(
+        "rb", F.shiftright("min_doc_id", 64 - range_bits)
+    )
+    reblock = _reblock_factory(n_docs, avgdl, block_size)
+    merged = grouped.groupBy("term", "rb").applyInPandas(reblock, POSTINGS_SCHEMA)
+    (
+        merged.withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)))
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(out.postings)
+    )
+    return out

@@ -1,0 +1,342 @@
+"""Query-time BM25 top-k — two execution paths, one answer.
+
+1. ``bm25_bruteforce``: pure DataFrame composition over the uncompressed
+   tf/doclens/term_stats tables (SURVEY.md §7 M0).  Zero custom kernels;
+   every step is Catalyst-optimizable; serves as the permanent in-engine
+   correctness oracle for the fast path.
+2. ``bm25_wand``: block-max WAND (Ding & Suel–style) over the compressed
+   posting blocks with a bounded k-min-heap — the scale path.  Postings are
+   fetched with partition pruning on ``pbucket`` (the Spark-native analog of
+   the reference's B-tree term index, horus0.1.5.db.sql:128-139) and the
+   kernel decodes blocks lazily: metadata-only skipping costs no decode.
+
+Reference analog of the whole path: term -> cached top-k search results,
+``SELECT ... WHERE upper(term)=upper(?) ... LIMIT 2`` + FK fetch of ranked
+docs (reference: src/core/util/definitions_sql.py:5-26,
+src/core/feature_extraction/util.py:935-1023); ranked ``result_seq`` is our
+``rank`` column (reference: util.py:977-982).
+
+Determinism contract shared with oracle.py / bm25.py: float64 everywhere,
+query terms deduped + scored in sorted-term order, scores quantized (bround,
+half-even, 6 dp) BEFORE ranking, ties broken by doc_id ascending.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from horus_ner_spark.functions.tokenizer import tokenize
+from horus_ner_spark.index import bm25
+from horus_ner_spark.index.build import IndexPaths, N_PBUCKETS
+from horus_ner_spark.index.codec import vb_decode, decode_block
+
+RESULT_SCHEMA = "query_id int, rank int, doc_id long, score double"
+
+
+def queries_to_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [(q["query_id"], q["query_text"], q.get("lang", "python"), q.get("k", 10))
+         for q in queries],
+        "query_id int, query_text string, lang string, k int",
+    )
+
+
+def _query_terms(queries: list[dict]) -> list[dict]:
+    """Tokenize + dedupe query terms driver-side (queries are tiny by
+    definition; the corpus never is)."""
+    rows = []
+    for q in queries:
+        for term in sorted(set(tokenize(q["query_text"], q.get("lang", "python")))):
+            rows.append({"query_id": q["query_id"], "term": term})
+    return rows
+
+
+def _bm25_expr(n_docs: int, avgdl: float):
+    """BM25 as a JVM-side Catalyst expression (whole-stage codegen; no
+    Python in the brute-force hot path)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf") * F.lit(bm25.K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(bm25.K1)
+            * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl))
+        )
+    )
+    return idf * tf_norm
+
+
+def bm25_bruteforce(
+    spark: SparkSession, paths: IndexPaths, queries: list[dict]
+) -> DataFrame:
+    """results(query_id, rank, doc_id, score) via pure DataFrame ops."""
+    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    qt = spark.createDataFrame(
+        _query_terms(queries) or [{"query_id": -1, "term": ""}],
+        "query_id int, term string",
+    )
+    ks = spark.createDataFrame(
+        [(q["query_id"], q.get("k", 10)) for q in queries], "query_id int, k int"
+    )
+    tf = spark.read.parquet(paths.tf)
+    doclens = spark.read.parquet(paths.doclens)
+    term_stats = spark.read.parquet(paths.term_stats).select("term", "df")
+
+    scored = (
+        tf.join(F.broadcast(qt), "term")  # prunes the corpus to query terms
+        .join(F.broadcast(term_stats.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
+        .join(doclens, "doc_id")
+        .withColumn("contrib", _bm25_expr(n_docs, avgdl))
+    )
+    agg = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(F.bround(F.sum("contrib"), bm25.QUANT).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ks), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ───────────────────────────── block-max WAND ─────────────────────────────
+
+# Exhausted-iterator sentinel: must exceed every legal doc_id.  doc_ids are
+# xxhash64 values spanning the FULL signed-64 range up to 2^63-1, so the
+# sentinel is 2^63 (python ints are unbounded; never store this in int64).
+_INF = 1 << 63
+
+
+class _TermIter:
+    """Cursor over one term's posting blocks, sorted by min_doc_id.
+
+    Decode is lazy: block skipping via (min_doc_id, max_doc_id, block_max)
+    metadata never touches the compressed bytes.
+    """
+
+    __slots__ = (
+        "term", "idf", "ub", "mins", "maxs", "bmaxs", "dvb", "tvb", "lvb",
+        "bi", "pos", "docs", "tfs", "dls", "cur",
+    )
+
+    def __init__(self, term: str, idf: float, blocks: pd.DataFrame) -> None:
+        blocks = blocks.sort_values("min_doc_id", kind="mergesort")
+        self.term = term
+        self.idf = idf
+        self.mins = blocks["min_doc_id"].to_numpy(np.int64)
+        self.maxs = blocks["max_doc_id"].to_numpy(np.int64)
+        self.bmaxs = blocks["block_max_score"].to_numpy(np.float64)
+        self.dvb = blocks["doc_ids_vb"].tolist()
+        self.tvb = blocks["tfs_vb"].tolist()
+        self.lvb = blocks["doclens_vb"].tolist()
+        self.ub = float(self.bmaxs.max())  # global term upper bound
+        self.bi = 0
+        self.pos = 0
+        self.docs = None
+        self.cur = int(self.mins[0])
+
+    def _decode(self) -> None:
+        self.docs, self.tfs = decode_block(bytes(self.dvb[self.bi]), bytes(self.tvb[self.bi]))
+        self.dls = vb_decode(bytes(self.lvb[self.bi])).view(np.int64)
+
+    def next_geq(self, target: int) -> int:
+        """Advance to the first posting with doc_id >= target."""
+        if self.cur >= target:
+            return self.cur
+        while self.bi < len(self.mins):
+            if self.maxs[self.bi] < target:  # metadata skip, no decode
+                self.bi += 1
+                self.docs = None
+                self.pos = 0
+                continue
+            if self.docs is None:
+                self._decode()
+            pos = int(np.searchsorted(self.docs, target, side="left"))
+            self.pos = pos
+            self.cur = int(self.docs[pos])
+            return self.cur
+        self.cur = _INF
+        return self.cur
+
+    def block_max_at(self, target: int) -> float:
+        """Block-max upper bound of the block that would contain ``target``
+        (shallow advance — metadata only)."""
+        bj = self.bi
+        while bj < len(self.mins) and self.maxs[bj] < target:
+            bj += 1
+        return float(self.bmaxs[bj]) if bj < len(self.mins) else 0.0
+
+    def block_boundary_at(self, target: int) -> int:
+        """max_doc_id of the (shallow) block containing target."""
+        bj = self.bi
+        while bj < len(self.mins) and self.maxs[bj] < target:
+            bj += 1
+        return int(self.maxs[bj]) if bj < len(self.mins) else _INF
+
+    def score_current(self, n_docs: int, avgdl: float) -> float:
+        if self.docs is None:
+            self._decode()
+            self.pos = int(np.searchsorted(self.docs, self.cur, side="left"))
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * tf * (bm25.K1 + 1.0) / (
+            tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl)
+        )
+
+
+# Safety margin below the heap threshold: scores are quantized to 1e-6
+# before ranking, so a candidate whose true score is within 1e-6 of the
+# current k-th best can still tie after quantization and win the doc_id
+# tie-break.  Skipping strictly below (theta - EPS) keeps WAND rank-identical
+# to exhaustive scoring.
+_EPS = 1e-6
+
+
+def _wand_one_query(
+    term_blocks: dict[str, pd.DataFrame],
+    term_df: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+) -> list[tuple[int, int, float]]:
+    iters = [
+        _TermIter(t, bm25.idf(n_docs, term_df[t]), b)
+        for t, b in sorted(term_blocks.items())
+        if len(b)
+    ]
+    heap: list[tuple[float, int]] = []  # (quantized score, -doc_id); heap[0] = worst
+
+    while iters:
+        iters = [it for it in iters if it.cur < _INF]
+        iters.sort(key=lambda it: it.cur)
+        if not iters:
+            break
+        theta_eff = (heap[0][0] - _EPS) if len(heap) >= k else -math.inf
+        # WAND pivot: smallest prefix of cur-doc-sorted iters whose summed
+        # global UBs can reach the threshold.
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(iters):
+            acc += it.ub
+            if acc >= theta_eff:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can enter the heap anymore
+        pivot = iters[pivot_idx].cur
+
+        if iters[0].cur == pivot:
+            # block-max refinement: shallow-advance the candidate iters and
+            # re-check with per-block (not global) upper bounds.
+            bm_sum = sum(
+                it.block_max_at(pivot) for it in iters if it.cur <= pivot
+            )
+            if bm_sum >= theta_eff:
+                # full evaluation, term-sorted order for determinism
+                contribs = []
+                for it in sorted(iters, key=lambda x: x.term):
+                    it.next_geq(pivot)
+                    if it.cur == pivot:
+                        contribs.append(it.score_current(n_docs, avgdl))
+                q = bm25.quantize(math.fsum(contribs))
+                entry = (q, -pivot)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                for it in iters:
+                    if it.cur == pivot:
+                        it.next_geq(pivot + 1)
+            else:
+                # Skip (Ding & Suel NextShallow): jump the candidate (prefix)
+                # iterators past the smallest current-block boundary among
+                # them — every doc in (pivot, d] sits in those same blocks,
+                # so the failed block-max bound covers the whole jump.
+                # Clamp at the next iterator's cur: beyond it the UB prefix
+                # changes and the pivot check must be redone.
+                d = min(
+                    it.block_boundary_at(pivot) for it in iters if it.cur <= pivot
+                )
+                if pivot_idx + 1 < len(iters):
+                    d = min(d, iters[pivot_idx + 1].cur - 1)
+                target = max(d + 1, pivot + 1)
+                for it in iters:
+                    if it.cur <= pivot:  # only prefix iterators move
+                        it.next_geq(target)
+        else:
+            iters[0].next_geq(pivot)
+
+    ranked = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(r + 1, -nd, q) for r, (q, nd) in enumerate(ranked)]
+
+
+def bm25_wand(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[dict],
+    n_pbuckets: int = N_PBUCKETS,
+) -> DataFrame:
+    """results(query_id, rank, doc_id, score) via block-max WAND over the
+    compressed index.  Rank-identical to ``bm25_bruteforce`` (tested)."""
+    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    qt_rows = _query_terms(queries)
+    ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    if not qt_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    terms = sorted({r["term"] for r in qt_rows})
+
+    # term -> df for idf (query vocabulary only: tiny, collected)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    term_df = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(paths.term_stats)
+        .join(F.broadcast(tdf), "term")
+        .collect()
+    }
+
+    # partition pruning: compute the pbuckets the query terms live in with
+    # the same hash Spark wrote them with, then filter on the partition col.
+    buckets = sorted(
+        r["pbucket"]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)).alias("pbucket")
+        ).distinct().collect()
+    )
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("pbucket").isin(buckets))     # directory-level pruning
+        .filter(F.col("term").isin(terms))          # row-group pruning
+        .join(F.broadcast(qt), "term")
+    )
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        term_blocks = {t: g for t, g in pdf.groupby("term")}
+        rows = _wand_one_query(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        return pd.DataFrame(
+            [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
+            columns=["query_id", "rank", "doc_id", "score"],
+        ).astype({"query_id": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"})
+
+    return (
+        blocks.groupBy("query_id")
+        .applyInPandas(run_query, RESULT_SCHEMA)
+        .orderBy("query_id", "rank")
+    )

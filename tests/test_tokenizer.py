@@ -1,0 +1,59 @@
+"""Tokenizer determinism + splitting parity (SURVEY.md §5 item 1, M1)."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from horus_ner_spark.functions.tokenizer import STOPLISTS, tokenize, tokenize_series
+
+
+def test_camel_snake_splitting():
+    assert tokenize("parseConfig", None) == ["parse", "config"]
+    assert tokenize("read_buffer", None) == ["read", "buffer"]
+    assert tokenize("HTMLParserBase", None) == ["html", "parser", "base"]
+    assert tokenize("zipWithIndex", None) == ["zip", "with", "index"]
+    assert tokenize("a.b.configValue", None) == ["config", "value"]  # len-1 dropped
+
+
+def test_digits_and_length_gate():
+    assert tokenize("x y1 count2items 42", None) == ["count", "items", "42"]
+    assert tokenize("a" * 65 + " ok", None) == ["ok"]
+
+
+def test_stoplists_per_lang():
+    assert tokenize("def return import config", "python") == ["config"]
+    # 'def' is not a java stopword
+    assert "def" in tokenize("def return import config", "java")
+    assert tokenize("public static void main", "java") == ["main"]
+
+
+def test_accent_and_unicode_strip():
+    assert tokenize("café naïve", None) == ["cafe", "naive"]
+    assert tokenize("Ünïcode", None) == ["unicode"]
+
+
+def test_empty_and_null():
+    assert tokenize("", "python") == []
+    assert tokenize(None, "python") == []
+    assert tokenize("   \n\t ", "python") == []
+
+
+@given(st.text(max_size=200), st.sampled_from(list(STOPLISTS) + [None, "unknown"]))
+@settings(max_examples=300, deadline=None)
+def test_deterministic_and_normalized(text, lang):
+    a = tokenize(text, lang)
+    assert a == tokenize(text, lang)  # pure
+    for t in a:
+        assert 2 <= len(t) <= 64
+        assert t == t.lower()
+        if lang in STOPLISTS:
+            assert t not in STOPLISTS[lang]
+    # re-tokenizing the joined output is stable (idempotence on own alphabet)
+    assert tokenize(" ".join(a), lang) == a
+
+
+def test_series_form_matches_scalar():
+    texts = pd.Series(["parseConfig x", "def foo_bar", None])
+    langs = pd.Series(["python", "python", "python"])
+    out = tokenize_series(texts, langs)
+    assert list(out) == [tokenize(t, "python") for t in texts]
