@@ -93,7 +93,12 @@ class IndexPaths:
 
 
 def with_doc_id(corpus: DataFrame) -> DataFrame:
-    """doc_id = xxhash64(repo, path, commit) — per FIXTURES.md §1."""
+    """doc_id = xxhash64(repo, path, commit) — per FIXTURES.md §1.
+
+    A corpus that already carries a ``doc_id`` column (e.g. an external
+    document table mapped onto the corpus schema) keeps its ids."""
+    if "doc_id" in corpus.columns:
+        return corpus
     return corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
@@ -155,6 +160,9 @@ def build_index(
     ``fail_after_stage`` injects a crash between stages for the resume test
     (SURVEY.md §5 item 4).
     """
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)  # pandas-UDF closures unpickle on workers
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     conf = {

@@ -100,6 +100,9 @@ def merge_indexes(
     n_pbuckets: int = N_PBUCKETS,
 ) -> IndexPaths:
     """Merge N built index segments into a canonical combined index."""
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)  # reblock kernel unpickles on workers
     out = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -292,6 +292,9 @@ def bm25_wand(
 ) -> DataFrame:
     """results(query_id, rank, doc_id, score) via block-max WAND over the
     compressed index.  Rank-identical to ``bm25_bruteforce`` (tested)."""
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
     stats = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 

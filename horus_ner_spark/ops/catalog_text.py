@@ -1,0 +1,660 @@
+"""Text / dedup / similarity operator catalog over the driver's
+``documents`` and ``embeddings`` tables.
+
+Every entry returns (spark_fn, duckdb_sql) producing identical rows — the
+driver's correctness gate runs both at sf=0.01 and hash-compares values.
+Aliases are kept in lock-step between the DataFrame plan and the SQL.
+
+Documents text is clean space-separated lowercase words, so the "simple"
+tokenizer here is ``split(text, ' ')`` minus empties, with a ``len >= 2``
+gate where it mirrors the engine tokenizer.  Reference analogs cited per
+entry (SURVEY.md §2 numbering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ── shared fragments ────────────────────────────────────────────────────────
+
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+# engine-tokenizer mirror: lowercase alnum runs, len >= 2
+_TOKS2 = "filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_TOKS2 = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
+)
+
+# word-3-gram shingles (distinct), guarded for docs with < 3 tokens
+_SHINGLES = f"""
+    CASE WHEN size({_TOKS}) >= 3 THEN
+      array_distinct(transform(sequence(0, size({_TOKS}) - 3),
+        i -> concat_ws(' ', element_at({_TOKS}, i + 1),
+                            element_at({_TOKS}, i + 2),
+                            element_at({_TOKS}, i + 3))))
+    ELSE array() END
+"""
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-grams."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+    )
+
+
+# ── catalog entries ─────────────────────────────────────────────────────────
+
+
+def doc_tf(spark, sf_dir):
+    """Per-(doc, term) frequency — posting-construction partial agg.
+    Reference: TF fit, textclassification_final.py:42-50 (A9)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+DOC_TF_SQL = """
+SELECT doc_id, term, count(*) AS tf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term <> ''
+GROUP BY doc_id, term
+"""
+
+
+def term_stats_docs(spark, sf_dir):
+    """Per-term df/cf — the term dictionary (A7/A9).
+    Reference: idf stats, textclassification_final.py:42-50; vocabulary
+    build, benchmarking.py:66-74."""
+    return (
+        doc_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+TERM_STATS_SQL = f"""
+SELECT term, count(DISTINCT doc_id) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM ({DOC_TF_SQL}) GROUP BY term
+"""
+
+
+def corpus_stats_docs(spark, sf_dir):
+    """N, avgdl, vocabulary size (A6). Reference: corpus statistics,
+    features.py:137-168."""
+    toks = F.expr(f"size({_TOKS})")
+    d = _docs(spark, sf_dir).select(toks.alias("dl"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").alias("n_tokens"),
+    )
+
+
+CORPUS_STATS_SQL = f"""
+SELECT count(*) AS n_docs,
+       round(avg(len({_SQL_TOKS})), 6) AS avgdl,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+# fixed query set for the SQL-mirrored BM25 over documents
+BM25_DOC_QUERIES = [(1, ["table", "scan"]), (2, ["merge", "join", "batch"]), (3, ["vector"])]
+_BM25_K = 10
+
+
+def bm25_topk_docs(spark, sf_dir):
+    """Full BM25 (k1=1.2, b=0.75) top-10 over documents via pure DataFrame
+    ops — the M0 brute-force slice of the engine (SURVEY.md §7).
+    Reference analog: term -> ranked top-k docs, util.py:935-1023 (S7/J3/W5)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOKS2)).alias("term")
+    )
+    tf = docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_DOC_QUERIES for t in sorted(set(terms))],
+        "query_id int, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf") * F.lit(2.2)
+                / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl")))
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_DOC_QUERIES for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS2}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl)))
+         AS contrib
+  FROM tf JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), stats
+),
+agg AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: group key + survivor + group size.
+    Reference analog: sentence cache probe-before-insert dedup,
+    util.py:728-763 (J1)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard >= 0.05 (explode -> self-join
+    -> |A∩B| / (|A|+|B|-|A∩B|)).  At cluster scale the shingle join is the
+    LSH-free baseline; blocking = the shingle itself."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+_SQL_SHINGLES_CTE = f"""
+shingled AS (
+  SELECT doc_id, unnest(list_distinct(
+           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in generate_series(1, len(toks) - 2)])) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SQL_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingled a JOIN shingled b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.05
+"""
+
+_N_MINHASH = 4
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (4 hash fns = min(md5(seed:shingle))) per doc —
+    the shingle->minhash step of MinHash-LSH dedup."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SQL_SHINGLES_CTE}
+SELECT doc_id,
+       {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_MINHASH))}
+FROM shingled GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """LSH band-bucket candidate pairs: docs agreeing on >= 1 of the 4
+    minhash bands (band size 1).  The bucket-join that makes MinHash dedup
+    scale — candidates only, verified by jaccard downstream."""
+    sig = dedup_minhash_sig(spark, sf_dir)
+    pairs = None
+    for i in range(_N_MINHASH):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"mh{i}").alias("band"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"mh{i}").alias("band"))
+        p = a.join(b, "band").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", F.lit(i).alias("band_id")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands_matched")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {_SQL_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_MINHASH))}
+  FROM shingled GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {i} AS band_id, mh{i} AS band FROM sig" for i in range(_N_MINHASH))}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_id = b.band_id
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash per doc: per-term 60-bit hash (md5 prefix), tf-weighted
+    bit votes, sign -> bit.  Hamming-close signatures = near-dups."""
+    tf = doc_tf(spark, sf_dir)
+    h = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
+    bits = h.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
+    )
+    votes = bits.withColumn(
+        "vote", F.col("tf") * (F.lit(2) * F.expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") - F.lit(1))
+    )
+    return (
+        votes.groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bit", (F.col("v") > 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("bit * CAST(pow(2, i) AS BIGINT)")).alias("simhash"))
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tf AS ({DOC_TF_SQL}),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (
+  SELECT doc_id, i,
+         sum(tf * (2 * ((h // (1::BIGINT << i)) % 2) - 1)) AS v
+  FROM h, generate_series(0, 59) AS g(i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def embed_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.95 within the same label block
+    (label = coarse IVF-style partition; at scale the blocking key keeps the
+    self-join linear-ish instead of quadratic)."""
+    e = _emb(spark, sf_dir).withColumn(
+        "norm", F.expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )
+
+
+EMBED_COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
+"""
+
+_ANN_QUERY_IDS = (0, 1, 2)
+_ANN_K = 10
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 3 fixed query vectors — the exact
+    baseline every ANN variant is measured against."""
+    e = _emb(spark, sf_dir).withColumn(
+        "norm", F.expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    )
+    q = e.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("norm") * F.col("q_norm")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         sqrt(list_dot_product(embedding, embedding)) AS q_norm
+  FROM embeddings WHERE vec_id IN {_ANN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding, q.q_emb)
+               / (sqrt(list_dot_product(e.embedding, e.embedding)) * q.q_norm), 4) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def lang_id_heuristic(spark, sf_dir):
+    """Marker-token language ID (n-gram-heuristic analog) with fixed
+    priority tie-break.  Reference: langdetect gate with pinned seed,
+    util.py:77-79, language_detection.py:5-7 (P6/F16)."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+
+    def cnt(*words):
+        return F.sum(F.when(F.col("tok").isin(*words), 1).otherwise(0))
+
+    counts = t.groupBy("doc_id", "lang").agg(
+        cnt("the", "a", "of").alias("c_en"),
+        cnt("el", "la", "de").alias("c_es"),
+        cnt("le", "les", "des").alias("c_fr"),
+        cnt("der", "die", "das").alias("c_de"),
+    )
+    pred = (
+        F.when(
+            (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_de")),
+            "en",
+        )
+        .when((F.col("c_es") >= F.col("c_fr")) & (F.col("c_es") >= F.col("c_de")), "es")
+        .when(F.col("c_fr") >= F.col("c_de"), "fr")
+        .otherwise("de")
+    )
+    return counts.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        (F.col("c_en") + F.col("c_es") + F.col("c_fr") + F.col("c_de")).alias("n_markers"),
+    )
+
+
+LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, lang,
+    CAST(sum(CASE WHEN tok IN ('the','a','of') THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+    CAST(sum(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+    CAST(sum(CASE WHEN tok IN ('le','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+    CAST(sum(CASE WHEN tok IN ('der','die','das') THEN 1 ELSE 0 END) AS BIGINT) AS c_de
+  FROM t GROUP BY doc_id, lang
+)
+SELECT doc_id, lang,
+  CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de THEN 'en'
+       WHEN c_es >= c_fr AND c_es >= c_de THEN 'es'
+       WHEN c_fr >= c_de THEN 'fr'
+       ELSE 'de' END AS pred_lang,
+  c_en + c_es + c_fr + c_de AS n_markers
+FROM counts
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Document quality heuristics: token counts, type-token ratio, stopword
+    ratio, composite score.  Reference: POS-ratio corpus stats,
+    features.py:161-168 (F15)."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    agg = t.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.when(F.col("tok").isin("a", "the", "of"), 1).otherwise(0)).alias("n_stop"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("ttr"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stop_ratio"),
+        F.round(
+            (F.col("n_distinct") / F.col("n_tokens"))
+            * (F.lit(1.0) - F.col("n_stop") / F.col("n_tokens")),
+            4,
+        ).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct,
+         CAST(sum(CASE WHEN tok IN ('a','the','of') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM t WHERE tok <> '' GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(n_distinct / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+       round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+       round((n_distinct / CAST(n_tokens AS DOUBLE))
+             * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+FROM agg
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Deterministic content fingerprints (full + 64-char prefix) — the
+    dedup/lineage key.  Reference analog: content_sha256 invariant
+    (BASELINE.json input_hint); term-keyed cache keys, sqlite_helper.py:42-48."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.substring("text", 1, 64)).alias("prefix_fp"),
+        F.length("text").alias("text_len"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS prefix_fp,
+       CAST(length(text) AS INT) AS text_len
+FROM documents
+"""
+
+
+def histogram_terms(spark, sf_dir):
+    """Top-20 terms by collection frequency (A8: Counter histogram,
+    topic_modelling.py:31-33). Deterministic via (cf desc, term asc)."""
+    return (
+        doc_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+HISTOGRAM_TERMS_SQL = f"""
+SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+FROM ({DOC_TF_SQL}) GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+
+def distinct_vocab(spark, sf_dir):
+    """Vocabulary cardinality (A7: set(all_text), benchmarking.py:66-74)."""
+    return (
+        doc_tf(spark, sf_dir)
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+
+
+DISTINCT_VOCAB_SQL = f"""
+SELECT count(DISTINCT term) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM ({DOC_TF_SQL})
+"""
+
+
+def union_sources(spark, sf_dir):
+    """Dataset union with label column (U2: pd.concat of class CSVs,
+    textclassification_final.py:61-72)."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("source") == "src0").select("doc_id", "lang", F.lit("first").alias("bucket"))
+    b = d.filter(F.col("source") == "src1").select("doc_id", "lang", F.lit("second").alias("bucket"))
+    return a.unionByName(b).groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+UNION_SOURCES_SQL = """
+SELECT bucket, lang, count(*) AS n FROM (
+  SELECT doc_id, lang, 'first' AS bucket FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id, lang, 'second' AS bucket FROM documents WHERE source = 'src1'
+) GROUP BY bucket, lang
+"""
+
+
+ENTRIES: dict[str, tuple] = {
+    "doc_tf": (doc_tf, DOC_TF_SQL),
+    "term_stats_docs": (term_stats_docs, TERM_STATS_SQL),
+    "corpus_stats_docs": (corpus_stats_docs, CORPUS_STATS_SQL),
+    "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "embed_cosine_pairs": (embed_cosine_pairs, EMBED_COSINE_PAIRS_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "quality_score": (quality_score, QUALITY_SCORE_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "histogram_terms": (histogram_terms, HISTOGRAM_TERMS_SQL),
+    "distinct_vocab": (distinct_vocab, DISTINCT_VOCAB_SQL),
+    "union_sources": (union_sources, UNION_SOURCES_SQL),
+}

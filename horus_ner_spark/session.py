@@ -9,8 +9,39 @@ cluster via SPARK_CONF_* env or builder args.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_MARKER = "_horus_pkg_shipped"
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship horus_ner_spark to executor Python workers via addPyFile.
+
+    Required whenever the session was created by an external harness whose
+    working directory / PYTHONPATH does not include this repo: pandas-UDF
+    closures pickle references to this package and unpickle on workers.
+    This is the local-mode equivalent of the north rule's
+    ``spark-submit --py-files`` distribution. Idempotent per session.
+    """
+    if getattr(spark, _PKG_MARKER, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", f"horus_ner_spark_pkg_{os.getpid()}.zip")
+    tmp = zpath + ".tmp"  # rebuilt per process so code edits are never stale
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    arc = os.path.join(
+                        "horus_ner_spark", os.path.relpath(p, pkg_dir)
+                    )
+                    z.write(p, arc)
+    os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, _PKG_MARKER, True)
 
 
 def get_spark(

@@ -1,0 +1,68 @@
+"""Posting-merge idempotence / associativity (north rule; SURVEY.md §5.1).
+
+Strategy: split the sf0.001 corpus into 3 disjoint segments, SPIMI-build
+each independently, then assert that every merge grouping produces an index
+that (a) answers the reference query set identically to the single-shot
+index built over the whole corpus, and (b) has byte-identical canonical
+posting blocks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from horus_ner_spark.corpus import query_set, write_corpus
+from horus_ner_spark.index.build import build_index
+from horus_ner_spark.index.merge import merge_indexes
+from horus_ner_spark.index.query import bm25_wand
+
+
+def _blocks_signature(spark, paths):
+    rows = (
+        spark.read.parquet(paths.postings)
+        .select("term", "min_doc_id", "n_postings",
+                F.md5(F.base64("doc_ids_vb")).alias("dh"),
+                F.md5(F.base64("tfs_vb")).alias("th"),
+                F.bround("block_max_score", 9).alias("bm"))
+        .collect()
+    )
+    return sorted((r["term"], r["min_doc_id"], r["n_postings"], r["dh"], r["th"], r["bm"]) for r in rows)
+
+
+def _results(spark, paths):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_wand(spark, paths, query_set()).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def segments(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mrg")
+    corpus_path = write_corpus(spark, str(root), sf=0.001)
+    corpus = spark.read.parquet(corpus_path)
+    seg_paths = []
+    for i in range(3):
+        p = str(root / f"seg{i}")
+        corpus.filter(F.pmod(F.xxhash64("repo", "path"), F.lit(3)) == i).write.mode(
+            "overwrite"
+        ).parquet(p + "/corpus.parquet")
+        seg_paths.append(build_index(spark, p + "/corpus.parquet", p + "/ix"))
+    full = build_index(spark, corpus_path, str(root / "full_ix"))
+    return root, seg_paths, full
+
+
+def test_merge_equals_single_shot(spark, segments):
+    root, segs, full = segments
+    merged = merge_indexes(spark, segs, str(root / "m_abc"))
+    assert _blocks_signature(spark, merged) == _blocks_signature(spark, full)
+    assert _results(spark, merged) == _results(spark, full)
+
+
+def test_merge_associative_and_idempotent(spark, segments):
+    root, segs, full = segments
+    ab = merge_indexes(spark, segs[:2], str(root / "m_ab"))
+    ab_c = merge_indexes(spark, [ab, segs[2]], str(root / "m_ab_c"))
+    assert _blocks_signature(spark, ab_c) == _blocks_signature(spark, full)
+    # merging a merged index with itself changes nothing (idempotence)
+    self_merge = merge_indexes(spark, [ab_c, ab_c], str(root / "m_self"))
+    assert _blocks_signature(spark, self_merge) == _blocks_signature(spark, ab_c)
+    assert _results(spark, self_merge) == _results(spark, full)
