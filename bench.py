@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver runs this per-round and records the one
+JSON line it prints to stdout as BENCH_r{N}.json.
+
+Measures, per BASELINE.md target metric:
+  1. index build docs/sec over the synthetic source-code corpus (engine path:
+     tokenize -> tf -> stats -> salted SPIMI -> compressed blocks);
+  2. BM25 block-max WAND p50/p99 per-query latency on the fixed reference
+     query set (per-query timed, index warm);
+  3. headline catalog queries over $SPARK_GRAFT_SF_DIR driver testdata.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CORPUS_SF (default 0.1 -> 100k synthetic docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CORPUS_SF = float(os.environ.get("BENCH_CORPUS_SF", "0.1"))
+
+
+def main() -> None:
+    from horus_ner_spark.corpus import n_docs_for_sf, query_set, write_corpus
+    from horus_ner_spark.index.build import build_index
+    from horus_ner_spark.index.query import bm25_wand
+    from horus_ner_spark.ops import registry
+    from horus_ner_spark.session import get_spark
+
+    spark = get_spark("horus-bench", cores=CPUS,
+                      shuffle_partitions=int(CPUS) if CPUS.isdigit() else 32)
+    timings: dict[str, float] = {}
+
+    # ── corpus gen (not part of the build metric) ───────────────────────────
+    work = f"/tmp/horus_bench_sf{CORPUS_SF}"
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.perf_counter()
+    corpus_path = write_corpus(spark, work, sf=CORPUS_SF)
+    timings["corpus_gen"] = round(time.perf_counter() - t0, 3)
+    n_docs = n_docs_for_sf(CORPUS_SF)
+
+    # ── index build (cold) -> docs/sec ──────────────────────────────────────
+    t0 = time.perf_counter()
+    paths = build_index(spark, corpus_path, f"{work}/ix")
+    build_s = time.perf_counter() - t0
+    timings["index_build"] = round(build_s, 3)
+    docs_per_sec = n_docs / build_s
+
+    # ── BM25 WAND per-query latency on the reference query set ──────────────
+    lat = []
+    for q in query_set():
+        t0 = time.perf_counter()
+        bm25_wand(spark, paths, [q]).collect()
+        lat.append(time.perf_counter() - t0)
+        timings[f"wand_q{q['query_id']}"] = round(lat[-1], 3)
+    lat_sorted = sorted(lat)
+    p50 = statistics.median(lat_sorted)
+    p99 = lat_sorted[min(len(lat_sorted) - 1, int(0.99 * len(lat_sorted)))]
+
+    # ── headline catalog queries over driver testdata ───────────────────────
+    qfns = registry.queries()
+    for name in (
+        "q1_pricing_summary", "q3_top_orders", "window_topk_parts",
+        "sessionize_events", "bm25_topk_docs", "dedup_minhash_sig",
+        "minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
+        "quality_score", "engine_bm25_wand_docs",
+    ):
+        t0 = time.perf_counter()
+        qfns[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": CORPUS_SF,
+        "index_build_docs_per_sec": round(docs_per_sec, 1),
+        "n_docs_indexed": n_docs,
+        "bm25_wand_p50_s": round(p50, 4),
+        "bm25_wand_p99_s": round(p99, 4),
+        "cores": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
