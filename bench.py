@@ -5,8 +5,10 @@ JSON line it prints to stdout as BENCH_r{N}.json.
 Measures, per BASELINE.md target metric:
   1. index build docs/sec over the synthetic source-code corpus (engine path:
      tokenize -> tf -> stats -> salted SPIMI -> compressed blocks);
-  2. BM25 block-max WAND p50/p99 per-query latency on the fixed reference
-     query set (per-query timed, index warm);
+  2. BM25 p50/p99 per-query latency on the fixed reference query set via the
+     serving path (IndexServer: pruned pyarrow reads + WAND kernel, the
+     interactive surface), cold then warm, plus one distributed
+     bm25_wand batch over all queries (the bulk surface);
   3. headline catalog queries over $SPARK_GRAFT_SF_DIR driver testdata.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -56,16 +58,26 @@ def main() -> None:
     timings["index_build"] = round(build_s, 3)
     docs_per_sec = n_docs / build_s
 
-    # ── BM25 WAND per-query latency on the reference query set ──────────────
+    # ── BM25 per-query latency: serving path (cold + warm) ──────────────────
+    from horus_ner_spark.index.serve import IndexServer
+
+    server = IndexServer(paths.root)
     lat = []
-    for q in query_set():
-        t0 = time.perf_counter()
-        bm25_wand(spark, paths, [q]).collect()
-        lat.append(time.perf_counter() - t0)
-        timings[f"wand_q{q['query_id']}"] = round(lat[-1], 3)
+    for round_name in ("cold", "warm"):
+        for q in query_set():
+            t0 = time.perf_counter()
+            server.search(q["query_text"], q["lang"], q["k"])
+            dt = time.perf_counter() - t0
+            lat.append(dt)
+            timings[f"serve_{round_name}_q{q['query_id']}"] = round(dt, 4)
     lat_sorted = sorted(lat)
     p50 = statistics.median(lat_sorted)
     p99 = lat_sorted[min(len(lat_sorted) - 1, int(0.99 * len(lat_sorted)))]
+
+    # distributed bulk path: all reference queries in one Spark job
+    t0 = time.perf_counter()
+    bm25_wand(spark, paths, query_set()).collect()
+    timings["wand_batch_all_queries"] = round(time.perf_counter() - t0, 3)
 
     # ── headline catalog queries over driver testdata ───────────────────────
     qfns = registry.queries()
@@ -88,8 +100,8 @@ def main() -> None:
         "sf": CORPUS_SF,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "n_docs_indexed": n_docs,
-        "bm25_wand_p50_s": round(p50, 4),
-        "bm25_wand_p99_s": round(p99, 4),
+        "bm25_serve_p50_s": round(p50, 4),
+        "bm25_serve_p99_s": round(p99, 4),
         "cores": CPUS,
     }))
     spark.stop()

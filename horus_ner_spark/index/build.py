@@ -8,14 +8,22 @@ Here the postings are built from the corpus itself, declaratively:
     corpus ──(A docs)──> docs(doc_id, repo, path, commit, lang, content_sha256)
     corpus ──(B tf)────> tf(doc_id, term, tf)              [tokenize ONCE]
     tf ──(C stats)─────> doclens(doc_id, doclen) + corpus_stats(n_docs, avgdl)
-    tf ──(D terms)─────> term_stats(term, df, cf)
-    tf ⋈ doclens ⋈ term_stats ──(E postings)──> compressed block table
+    tf ──(D terms)─────> term_stats(term, df, cf)   [pbucket-partitioned]
+    tf ──(E postings)──> compressed block table     [no joins; one shuffle]
 
 Scale decisions (the parts that must survive 1000 executors / 10^12 files):
-- **One tokenization pass.** Stage B is the only pandas-UDF scan of
-  ``content``; doclen is recovered as sum(tf) per doc, so the expensive
-  column is read exactly twice total (once for sha256, once for tokens) and
-  the token arrays are never materialized to storage.
+- **One tokenization pass, zero shuffle for tf.** Stage B is the only
+  pandas-UDF scan of ``content``; tf and doclen are both per-document-local
+  facts, so they are computed INSIDE the tokenize kernel (Counter per doc)
+  and emitted as finished ``(doc_id, term, tf, doclen)`` rows — the naive
+  ``explode -> groupBy(doc_id, term)`` plan would shuffle every token
+  occurrence (~10^14 rows at target scale) to compute a count that never
+  needed to leave its partition.
+- **Join-free posting assembly.** Blocks store ``block_max_tfnorm`` — the
+  idf-free part of the BM25 upper bound (idf is constant per term, applied
+  at query time from term_stats) — and doclen rides in the tf rows, so
+  stage E is a single shuffle: ``tf -> groupBy(term, rb) -> encode``.  No
+  join with term_stats (df), no join with doclens.
 - **Hot-term skew** (Zipfian ``config``/``get``/...): the per-term posting
   assembly groups by ``(term, range_bucket)`` where
   ``range_bucket = doc_id >> (64 - RANGE_BITS)`` — a deterministic,
@@ -28,7 +36,7 @@ Scale decisions (the parts that must survive 1000 executors / 10^12 files):
   hash aggregate does map-side partial aggregation, so a hot term
   contributes one partial row per task, not per posting.
 - **Partition pruning at query time**: the postings table is written
-  ``partitionBy(pbucket)`` with ``pbucket = pmod(xxhash64(term), N_PBUCKETS)``
+  ``partitionBy(pbucket)`` with ``pbucket = pmod(crc32(term), N_PBUCKETS)`` (bucketing.py)
   — the Spark-native analog of the reference's B-tree term index; a query
   touches only the buckets its terms hash to.
 - **Resume**: every stage is fingerprint-gated through the checkpoint
@@ -45,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from horus_ner_spark.functions.tokenizer import tokenize_udf_factory
+from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.manifest import Manifest, corpus_fingerprint
 
@@ -58,9 +66,11 @@ N_PBUCKETS = 32      # term-hash partitions of the postings table
 # table — at 10^12 docs a broadcast doclen array would not fit an executor.
 POSTINGS_SCHEMA = (
     "term string, block_id int, min_doc_id long, max_doc_id long, "
-    "n_postings int, block_max_score double, doc_ids_vb binary, tfs_vb binary, "
+    "n_postings int, block_max_tfnorm double, doc_ids_vb binary, tfs_vb binary, "
     "doclens_vb binary"
 )
+
+TF_SCHEMA = "doc_id long, term string, tf long, doclen long"
 
 
 @dataclass(frozen=True)
@@ -102,11 +112,14 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
-def _encode_groups_factory(n_docs: int, avgdl: float, block_size: int):
+def _encode_groups_factory(avgdl: float, block_size: int):
     """Build the per-(term, range_bucket) posting-block encoder kernel.
 
-    Runs as applyInPandas: input pdf has (term, rb, doc_id, tf, df, doclen);
+    Runs as applyInPandas: input pdf has (term, rb, doc_id, tf, doclen);
     output is one row per compressed block.  All math vectorized numpy.
+    Blocks carry ``block_max_tfnorm`` — the idf-free BM25 upper-bound
+    factor — so no per-term df join is needed here; the query side
+    multiplies by idf (constant per term) when forming WAND bounds.
     """
     from horus_ner_spark.index.codec import encode_block, vb_encode
 
@@ -115,12 +128,9 @@ def _encode_groups_factory(n_docs: int, avgdl: float, block_size: int):
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         doclens = pdf["doclen"].to_numpy(np.int64)
-        df = int(pdf["df"].iloc[0])
         term = pdf["term"].iloc[0]
-        t_idf = bm25.idf(n_docs, df)
-        scores = t_idf * (
-            tfs * (bm25.K1 + 1.0)
-            / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl))
+        tfnorms = tfs * (bm25.K1 + 1.0) / (
+            tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
         )
         rows = []
         for start in range(0, len(doc_ids), block_size):
@@ -135,7 +145,7 @@ def _encode_groups_factory(n_docs: int, avgdl: float, block_size: int):
                     "min_doc_id": int(d[0]),
                     "max_doc_id": int(d[-1]),
                     "n_postings": len(d),
-                    "block_max_score": float(scores[start : start + block_size].max()),
+                    "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
                     "doc_ids_vb": dvb,
                     "tfs_vb": tvb,
                     "doclens_vb": vb_encode(dl.astype(np.uint64)),
@@ -144,6 +154,29 @@ def _encode_groups_factory(n_docs: int, avgdl: float, block_size: int):
         return pd.DataFrame(rows)
 
     return encode_group
+
+
+def _tokenize_tf_batches(batches):
+    """mapInPandas kernel: (doc_id, lang, content) -> (doc_id, term, tf,
+    doclen) — tokenization, per-doc tf, and doclen in ONE pass with no
+    shuffle (tf is a per-document-local aggregate)."""
+    from collections import Counter
+
+    from horus_ner_spark.functions.tokenizer import tokenize
+
+    for pdf in batches:
+        doc_ids, terms, tfs, doclens = [], [], [], []
+        for doc_id, lang, content in zip(pdf["doc_id"], pdf["lang"], pdf["content"]):
+            toks = tokenize(content, lang)
+            dl = len(toks)
+            for term, tf in Counter(toks).items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+                doclens.append(dl)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "term": terms, "tf": tfs, "doclen": doclens}
+        )
 
 
 def build_index(
@@ -170,6 +203,7 @@ def build_index(
         "range_bits": range_bits,
         "n_pbuckets": n_pbuckets,
         "tokenizer": "code-aware-v1",
+        "layout": "v2",  # tf carries doclen; blocks store idf-free tfnorm max
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)
@@ -196,14 +230,12 @@ def build_index(
                          {"n_docs": n})
     _maybe_fail("docs")
 
-    # ── Stage B: tf (the single tokenization pass) ──────────────────────────
+    # ── Stage B: tf (the single tokenization pass; shuffle-free) ────────────
     if not man.stage_complete("tf", fp, paths.tf):
-        tok = tokenize_udf_factory()
         tf = (
             with_doc_id(corpus)
-            .select("doc_id", F.explode(tok("content", "lang")).alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("doc_id", "lang", "content")
+            .mapInPandas(_tokenize_tf_batches, schema=TF_SCHEMA)
         )
         tf.write.mode("overwrite").parquet(paths.tf)
         tf_out = spark.read.parquet(paths.tf)
@@ -227,7 +259,7 @@ def build_index(
         and os.path.exists(os.path.join(paths.corpus_stats, "_SUCCESS"))
     ):
         tf = spark.read.parquet(paths.tf)
-        doclens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+        doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         doclens.write.mode("overwrite").parquet(paths.doclens)
         n_docs = spark.read.parquet(paths.docs).count()  # includes empty docs
         total_len = spark.read.parquet(paths.doclens).agg(
@@ -242,34 +274,38 @@ def build_index(
     _maybe_fail("stats")
 
     # ── Stage D: term dictionary (df, cf) — map-side combine handles skew ───
+    # Written bucketed by pbucket and term-sorted within files so both the
+    # serving path and the distributed query path resolve query-term idf with
+    # directory + row-group pruning (same layout as the postings table).
     if not man.stage_complete("term_stats", fp, paths.term_stats):
         tf = spark.read.parquet(paths.tf)
         (
             tf.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+            .repartition(n_pbuckets, "pbucket")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
+            .partitionBy("pbucket")
             .parquet(paths.term_stats)
         )
         n_terms = spark.read.parquet(paths.term_stats).count()
         man.commit_stage("term_stats", fp, [{"partition_id": 0}], {"n_terms": n_terms})
     _maybe_fail("term_stats")
 
-    # ── Stage E: compressed posting blocks ──────────────────────────────────
+    # ── Stage E: compressed posting blocks (single shuffle, no joins) ───────
     if not man.stage_complete("postings", fp, paths.postings):
         stats = spark.read.parquet(paths.corpus_stats).collect()[0]
-        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-        tf = spark.read.parquet(paths.tf)
-        doclens = spark.read.parquet(paths.doclens)
-        term_stats = spark.read.parquet(paths.term_stats).select("term", "df")
-        scored = (
-            tf.join(doclens, "doc_id")
-            .join(term_stats, "term")
-            .withColumn("rb", F.shiftright("doc_id", 64 - range_bits))
+        avgdl = float(stats["avgdl"])
+        tf = spark.read.parquet(paths.tf).withColumn(
+            "rb", F.shiftright("doc_id", 64 - range_bits)
         )
-        encode = _encode_groups_factory(n_docs, avgdl, block_size)
-        blocks = scored.groupBy("term", "rb").applyInPandas(encode, POSTINGS_SCHEMA)
+        encode = _encode_groups_factory(avgdl, block_size)
+        blocks = tf.groupBy("term", "rb").applyInPandas(encode, POSTINGS_SCHEMA)
         (
-            blocks.withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)))
+            blocks.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+            .repartition(n_pbuckets, "pbucket")
+            .sortWithinPartitions("term", "min_doc_id")
             .write.mode("overwrite")
             .partitionBy("pbucket")
             .parquet(paths.postings)

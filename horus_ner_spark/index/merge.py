@@ -10,10 +10,11 @@ term cache growing monotonically across runs via INSERT-if-absent
 Why merging is cheap here: blocks are self-contained (codec.py) and carry
 doc_ids, tfs, AND doclens, so merging segment postings for a term is
 decode -> k-way sorted concat -> re-block -> re-encode, entirely inside one
-``(term, range_bucket)`` group — no global pass.  What is NOT local:
-BM25 ``block_max_score`` depends on corpus-level df/avgdl, which change on
-merge, so merged df (groupBy term) and merged corpus stats (weighted avgdl)
-are recomputed first and joined in.
+``(term, range_bucket)`` group — no global pass.  The only non-local input
+is the merged ``avgdl`` (a scalar broadcast into the kernel closure):
+``block_max_tfnorm`` is idf-free by design, so no per-term df join is
+needed even though df changes on merge — idf is applied at query time from
+the recomputed term_stats table.
 
 Canonical-form guarantee (what makes merge idempotent & associative): the
 output blocks for a (term, rb) group are a pure function of the SET of
@@ -31,6 +32,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import (
     BLOCK_SIZE,
@@ -42,10 +44,9 @@ from horus_ner_spark.index.build import (
 from horus_ner_spark.index.codec import decode_block, encode_block, vb_decode, vb_encode
 
 
-def _reblock_factory(n_docs: int, avgdl: float, block_size: int):
+def _reblock_factory(avgdl: float, block_size: int):
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
-        df = int(pdf["df"].iloc[0])
         docs_l, tfs_l, dls_l = [], [], []
         for _, row in pdf.iterrows():
             d, t = decode_block(bytes(row["doc_ids_vb"]), bytes(row["tfs_vb"]))
@@ -62,10 +63,8 @@ def _reblock_factory(n_docs: int, avgdl: float, block_size: int):
             keep[0] = True
             keep[1:] = docs[1:] != docs[:-1]
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        t_idf = bm25.idf(n_docs, df)
-        scores = t_idf * (
-            tfs * (bm25.K1 + 1.0)
-            / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls.astype(np.float64) / avgdl))
+        tfnorms = tfs * (bm25.K1 + 1.0) / (
+            tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls.astype(np.float64) / avgdl)
         )
         rows = []
         for start in range(0, len(docs), block_size):
@@ -78,7 +77,7 @@ def _reblock_factory(n_docs: int, avgdl: float, block_size: int):
                     "min_doc_id": int(d[0]),
                     "max_doc_id": int(d[-1]),
                     "n_postings": len(d),
-                    "block_max_score": float(scores[start : start + block_size].max()),
+                    "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
                     "doc_ids_vb": dvb,
                     "tfs_vb": tvb,
                     "doclens_vb": vb_encode(
@@ -138,23 +137,27 @@ def merge_indexes(
     (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+        .repartition(n_pbuckets, "pbucket")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
+        .partitionBy("pbucket")
         .parquet(out.term_stats)
     )
 
-    # sort-merge the posting blocks per (term, range_bucket)
+    # sort-merge the posting blocks per (term, range_bucket) — join-free:
+    # the merged avgdl scalar is the only corpus-level input to re-blocking.
     blocks = None
     for seg in segments:
         b = spark.read.parquet(seg.postings).drop("pbucket")
         blocks = b if blocks is None else blocks.unionByName(b)
-    term_df = spark.read.parquet(out.term_stats).select("term", "df")
-    grouped = blocks.join(term_df, "term").withColumn(
-        "rb", F.shiftright("min_doc_id", 64 - range_bits)
-    )
-    reblock = _reblock_factory(n_docs, avgdl, block_size)
+    grouped = blocks.withColumn("rb", F.shiftright("min_doc_id", 64 - range_bits))
+    reblock = _reblock_factory(avgdl, block_size)
     merged = grouped.groupBy("term", "rb").applyInPandas(reblock, POSTINGS_SCHEMA)
     (
-        merged.withColumn("pbucket", F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)))
+        merged.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+        .repartition(n_pbuckets, "pbucket")
+        .sortWithinPartitions("term", "min_doc_id")
         .write.mode("overwrite")
         .partitionBy("pbucket")
         .parquet(out.postings)

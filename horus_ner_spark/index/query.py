@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import IndexPaths, N_PBUCKETS
@@ -89,14 +90,12 @@ def bm25_bruteforce(
     ks = spark.createDataFrame(
         [(q["query_id"], q.get("k", 10)) for q in queries], "query_id int, k int"
     )
-    tf = spark.read.parquet(paths.tf)
-    doclens = spark.read.parquet(paths.doclens)
+    tf = spark.read.parquet(paths.tf)  # carries doclen per (doc, term) row
     term_stats = spark.read.parquet(paths.term_stats).select("term", "df")
 
     scored = (
         tf.join(F.broadcast(qt), "term")  # prunes the corpus to query terms
         .join(F.broadcast(term_stats.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
-        .join(doclens, "doc_id")
         .withColumn("contrib", _bm25_expr(n_docs, avgdl))
     )
     agg = (
@@ -139,7 +138,8 @@ class _TermIter:
         self.idf = idf
         self.mins = blocks["min_doc_id"].to_numpy(np.int64)
         self.maxs = blocks["max_doc_id"].to_numpy(np.int64)
-        self.bmaxs = blocks["block_max_score"].to_numpy(np.float64)
+        # blocks store the idf-free tfnorm bound; idf is constant per term
+        self.bmaxs = idf * blocks["block_max_tfnorm"].to_numpy(np.float64)
         self.dvb = blocks["doc_ids_vb"].tolist()
         self.tvb = blocks["tfs_vb"].tolist()
         self.lvb = blocks["doclens_vb"].tolist()
@@ -304,23 +304,21 @@ def bm25_wand(
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({r["term"] for r in qt_rows})
 
-    # term -> df for idf (query vocabulary only: tiny, collected)
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    # partition pruning: compute the pbuckets the query terms live in with
+    # the same hash the build wrote them with (crc32; driver-side, no job).
+    buckets = sorted({term_bucket(t, n_pbuckets) for t in terms})
+
+    # term -> df for idf (query vocabulary only: tiny, collected); the
+    # term_stats table shares the postings bucket layout, so the same
+    # directory + row-group pruning applies.
     term_df = {
         r["term"]: int(r["df"])
         for r in spark.read.parquet(paths.term_stats)
-        .join(F.broadcast(tdf), "term")
+        .filter(F.col("pbucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
         .collect()
     }
-
-    # partition pruning: compute the pbuckets the query terms live in with
-    # the same hash Spark wrote them with, then filter on the partition col.
-    buckets = sorted(
-        r["pbucket"]
-        for r in tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_pbuckets)).alias("pbucket")
-        ).distinct().collect()
-    )
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     blocks = (
         spark.read.parquet(paths.postings)

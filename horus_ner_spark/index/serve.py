@@ -1,0 +1,133 @@
+"""Low-latency BM25 serving over a built index — no Spark job per query.
+
+The distributed path (query.bm25_wand) launches a Spark job per query
+batch: right for bulk/offline scoring, wrong for interactive latency —
+the reference's interactive surface is a REST endpoint answering one text
+at a time from pre-loaded state (reference: webservice/rest.py:16-21,47-61,
+one global extractor built at import).  This module is that surface for
+the new engine: a query server process holds the tiny corpus stats in
+memory and reads ONLY the pruned postings it needs per query, straight
+from the index files with pyarrow.
+
+Why this is the at-scale design and not a sandbox shortcut: the index
+layout (pbucket directory partitioning + term-sorted row groups) means a
+query touches `O(#terms)` row groups regardless of corpus size.  A fleet
+of stateless query servers does exactly this against the same files on
+object storage; Spark is the build/refresh plane, not the serve plane.
+Pruning parity is guaranteed because the bucket hash (crc32, bucketing.py)
+is bit-identical in Spark and Python.
+
+Results are rank-identical to bm25_wand / bm25_bruteforce / the oracle:
+same WAND kernel (_wand_one_query), same quantize-then-rank contract
+(asserted in tests/test_serve.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from horus_ner_spark.functions.bucketing import term_bucket
+from horus_ner_spark.functions.tokenizer import tokenize
+from horus_ner_spark.index.build import N_PBUCKETS, IndexPaths
+from horus_ner_spark.index.query import _wand_one_query
+
+_BLOCK_COLS = [
+    "term", "min_doc_id", "max_doc_id", "n_postings",
+    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+]
+
+
+class IndexServer:
+    """Pre-loaded query server over one built index directory.
+
+    ``cache_terms`` bounds an LRU of per-term posting blocks + df, so hot
+    query terms skip storage entirely (the principled version of the
+    reference's per-term SQLite memo, sqlite_helper.py:42-48).
+    """
+
+    def __init__(self, index_dir: str, n_pbuckets: int = N_PBUCKETS,
+                 cache_terms: int = 4096) -> None:
+        paths = IndexPaths(index_dir)
+        stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.n_pbuckets = n_pbuckets
+        self._postings = pads.dataset(paths.postings, partitioning="hive")
+        self._term_stats = pads.dataset(paths.term_stats, partitioning="hive")
+        self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
+        self._cache_terms = cache_terms
+
+    def _load_terms(self, terms: list[str]) -> dict[str, tuple[int, pd.DataFrame]]:
+        """term -> (df, blocks) for every term present in the index,
+        via LRU cache + bucket/row-group-pruned reads for misses."""
+        out: dict[str, tuple[int, pd.DataFrame]] = {}
+        misses: list[str] = []
+        for t in terms:
+            hit = self._cache.get(t)
+            if hit is not None:
+                self._cache.move_to_end(t)
+                out[t] = hit
+            else:
+                misses.append(t)
+        if misses:
+            buckets = sorted({term_bucket(t, self.n_pbuckets) for t in misses})
+            flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(misses)
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in self._term_stats.to_table(
+                    columns=["term", "df"], filter=flt
+                ).to_pylist()
+            }
+            blocks = self._postings.to_table(columns=_BLOCK_COLS, filter=flt).to_pandas()
+            for t in misses:
+                if t not in dfs:
+                    continue  # not in index
+                entry = (dfs[t], blocks[blocks["term"] == t])
+                out[t] = entry
+                self._cache[t] = entry
+                if len(self._cache) > self._cache_terms:
+                    self._cache.popitem(last=False)
+        return out
+
+    def search(self, query_text: str, lang: str = "python", k: int = 10) -> pd.DataFrame:
+        """Top-k for one query -> (rank, doc_id, score)."""
+        terms = sorted(set(tokenize(query_text, lang)))
+        loaded = self._load_terms(terms)
+        rows = _wand_one_query(
+            {t: b for t, (_df, b) in loaded.items()},
+            {t: df for t, (df, _b) in loaded.items()},
+            k, self.n_docs, self.avgdl,
+        )
+        return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+
+    def search_batch(self, queries: list[dict]) -> pd.DataFrame:
+        """Many queries -> (query_id, rank, doc_id, score); one storage read
+        for the union of all query terms."""
+        per_q = {
+            q["query_id"]: sorted(set(tokenize(q["query_text"], q.get("lang", "python"))))
+            for q in queries
+        }
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        loaded = self._load_terms(all_terms)
+        frames = []
+        for q in queries:
+            qid = q["query_id"]
+            sub = {t: loaded[t][1] for t in per_q[qid] if t in loaded}
+            dfs = {t: loaded[t][0] for t in per_q[qid] if t in loaded}
+            rows = _wand_one_query(sub, dfs, q.get("k", 10), self.n_docs, self.avgdl)
+            if not rows:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    [(qid, r, d, s) for r, d, s in rows],
+                    columns=["query_id", "rank", "doc_id", "score"],
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        return pd.concat(frames, ignore_index=True)

@@ -21,7 +21,7 @@ def _blocks_signature(spark, paths):
         .select("term", "min_doc_id", "n_postings",
                 F.md5(F.base64("doc_ids_vb")).alias("dh"),
                 F.md5(F.base64("tfs_vb")).alias("th"),
-                F.bround("block_max_score", 9).alias("bm"))
+                F.bround("block_max_tfnorm", 9).alias("bm"))
         .collect()
     )
     return sorted((r["term"], r["min_doc_id"], r["n_postings"], r["dh"], r["th"], r["bm"]) for r in rows)

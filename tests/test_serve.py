@@ -1,0 +1,47 @@
+"""Serving path: rank-identical to the distributed WAND path, and the
+driver-side crc32 bucket hash is bit-identical to the one Spark wrote the
+partition directories with."""
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from horus_ner_spark.corpus import query_set
+from horus_ner_spark.functions.bucketing import term_bucket, term_bucket_col
+from horus_ner_spark.index.query import bm25_wand
+from horus_ner_spark.index.serve import IndexServer
+
+
+def test_bucket_hash_parity_with_spark(spark):
+    rng = random.Random(7)
+    words = ["config", "a", "héllo", "日本語"] + [
+        "".join(rng.choices(string.ascii_lowercase + "0123456789_", k=rng.randint(1, 40)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term string").withColumn(
+        "b", term_bucket_col("term", 32)
+    )
+    assert all(r["b"] == term_bucket(r["term"], 32) for r in df.collect())
+
+
+def test_serve_rank_identical_to_wand(spark, sf001_index):
+    _corpus_path, paths = sf001_index
+    qs = query_set()
+    expected = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_wand(spark, paths, qs).collect()
+    )
+    server = IndexServer(paths.root)
+    got = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
+        for r in server.search_batch(qs).itertuples()
+    )
+    assert got == expected
+    # single-query surface agrees with the batch surface + warm-cache rerun
+    q0 = qs[0]
+    single = server.search(q0["query_text"], q0["lang"], q0["k"])
+    batch_q0 = [(r, d, s) for (qid, r, d, s) in got if qid == q0["query_id"]]
+    assert [(int(r.rank), int(r.doc_id), float(r.score)) for r in single.itertuples()] == batch_q0
+    again = server.search(q0["query_text"], q0["lang"], q0["k"])
+    assert again.equals(single)
