@@ -105,6 +105,24 @@ def tokenize(text: str | None, lang: str | None) -> list[str]:
     return out
 
 
+def tokenize_tf(text: str | None, lang: str | None) -> dict[str, int]:
+    """Term-frequency fast path: identical result to
+    ``Counter(tokenize(text, lang))`` (asserted in tests) but lowercases and
+    stop/length-gates once per DISTINCT raw token instead of per occurrence
+    — the index build's hot kernel, where token order is irrelevant."""
+    if not text:
+        return {}
+    from collections import Counter
+
+    stop = STOPLISTS.get(lang or "", _EMPTY)
+    out: dict[str, int] = {}
+    for raw, c in Counter(_SUBTOKEN_RE.findall(_strip_accents(text))).items():
+        t = raw.lower()
+        if _MIN_TOKEN_LEN <= len(t) <= _MAX_TOKEN_LEN and t not in stop:
+            out[t] = out.get(t, 0) + c
+    return out
+
+
 def tokenize_series(texts: pd.Series, langs: pd.Series) -> pd.Series:
     """Vectorized (Arrow-batch) form used inside the pandas UDF."""
     return pd.Series(

@@ -24,14 +24,23 @@ Scale decisions (the parts that must survive 1000 executors / 10^12 files):
   at query time from term_stats) — and doclen rides in the tf rows, so
   stage E is a single shuffle: ``tf -> groupBy(term, rb) -> encode``.  No
   join with term_stats (df), no join with doclens.
-- **Hot-term skew** (Zipfian ``config``/``get``/...): the per-term posting
-  assembly groups by ``(term, range_bucket)`` where
+- **Hot-term skew** (Zipfian ``config``/``get``/...): terms with
+  ``df > SPLIT_THRESHOLD`` are salted across ``2^RANGE_BITS`` groups by
   ``range_bucket = doc_id >> (64 - RANGE_BITS)`` — a deterministic,
-  order-preserving split of each hot term across 2^RANGE_BITS groups.  This
-  is the salting step of the north rule, but keyed on doc_id ranges instead
-  of random salt so each group encodes sorted, self-contained blocks with no
-  second merge pass.  (Blocks store their first doc_id absolute — see
-  codec.py — which is what makes group-local encoding exact.)
+  order-preserving split, keyed on doc_id ranges instead of random salt so
+  each group encodes sorted, self-contained blocks with no second merge
+  pass (blocks store their first doc_id absolute — see codec.py).  Cold
+  terms keep ``rb = 0``: salting everything would explode the group count
+  (measured: 10k-term corpus -> 649k groups -> 3-posting blocks) and
+  destroy both build throughput and WAND skip efficiency.  The hot set is
+  the Zipf head — tiny — and ships as a broadcast join.
+- **Group-spanning encode kernel**: posting assembly is ONE
+  ``repartition(term, rb) -> sortWithinPartitions -> mapInPandas`` pass,
+  not per-group applyInPandas — one Arrow batch carries thousands of
+  groups, so per-group overhead is a numpy slice, not a Spark task-side
+  frame build.  Groups split across batch boundaries are carried over
+  inside the kernel (deterministic; hash partitioning guarantees a group
+  never spans partitions).
 - **Aggregation skew** on groupBy(term) for df/cf needs no salting: Spark's
   hash aggregate does map-side partial aggregation, so a hot term
   contributes one partial row per task, not per posting.
@@ -57,9 +66,10 @@ from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.manifest import Manifest, corpus_fingerprint
 
-BLOCK_SIZE = 128     # postings per compressed block
-RANGE_BITS = 6       # hot-term split: 2^6 = 64 doc_id-range groups per term
-N_PBUCKETS = 32      # term-hash partitions of the postings table
+BLOCK_SIZE = 128       # postings per compressed block
+RANGE_BITS = 6         # hot-term split: 2^6 = 64 doc_id-range groups per term
+N_PBUCKETS = 32        # term-hash partitions of the postings table
+SPLIT_THRESHOLD = 8192  # df above which a term is salted across rb groups
 
 # Blocks are self-contained for scoring: doc_ids (delta-gap), tfs, and
 # doclens all ride in the block, so the WAND kernel needs no per-doc side
@@ -112,71 +122,237 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
-def _encode_groups_factory(avgdl: float, block_size: int):
-    """Build the per-(term, range_bucket) posting-block encoder kernel.
+def encode_run(
+    term: str,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    avgdl: float,
+    block_size: int,
+    rb_base: int = 0,
+) -> list[dict]:
+    """Encode one term's doc_id-sorted posting run into block rows.
 
-    Runs as applyInPandas: input pdf has (term, rb, doc_id, tf, doclen);
-    output is one row per compressed block.  All math vectorized numpy.
-    Blocks carry ``block_max_tfnorm`` — the idf-free BM25 upper-bound
-    factor — so no per-term df join is needed here; the query side
-    multiplies by idf (constant per term) when forming WAND bounds.
+    Shared by the build kernel and the merge re-blocker so chunk boundaries
+    are canonical by construction.  ``rb_base`` offsets block_id numbering
+    for hot-term rb groups (build) — ids only need uniqueness per term.
     """
     from horus_ner_spark.index.codec import encode_block, vb_encode
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        doclens = pdf["doclen"].to_numpy(np.int64)
-        term = pdf["term"].iloc[0]
-        tfnorms = tfs * (bm25.K1 + 1.0) / (
-            tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
+    tfnorms = tfs * (bm25.K1 + 1.0) / (
+        tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
+    )
+    rows = []
+    for start in range(0, len(doc_ids), block_size):
+        d = doc_ids[start : start + block_size]
+        dvb, tvb = encode_block(d, tfs[start : start + block_size])
+        rows.append(
+            {
+                "term": term,
+                "block_id": rb_base + start // block_size,
+                "min_doc_id": int(d[0]),
+                "max_doc_id": int(d[-1]),
+                "n_postings": len(d),
+                "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
+                "doc_ids_vb": dvb,
+                "tfs_vb": tvb,
+                "doclens_vb": vb_encode(
+                    doclens[start : start + block_size].astype(np.uint64)
+                ),
+            }
         )
-        rows = []
-        for start in range(0, len(doc_ids), block_size):
-            d = doc_ids[start : start + block_size]
-            t = tfs[start : start + block_size]
-            dl = doclens[start : start + block_size]
-            dvb, tvb = encode_block(d, t)
-            rows.append(
-                {
-                    "term": term,
-                    "block_id": start // block_size,
-                    "min_doc_id": int(d[0]),
-                    "max_doc_id": int(d[-1]),
-                    "n_postings": len(d),
-                    "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
-                    "doc_ids_vb": dvb,
-                    "tfs_vb": tvb,
-                    "doclens_vb": vb_encode(dl.astype(np.uint64)),
-                }
-            )
-        return pd.DataFrame(rows)
+    return rows
 
-    return encode_group
+
+_BLOCK_COLS = [
+    "term", "block_id", "min_doc_id", "max_doc_id", "n_postings",
+    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+]
+
+
+def _encode_arrow_factory(avgdl: float, block_size: int):
+    """Build the mapInArrow posting encoder: consumes a partition sorted by
+    (term, rb, doc_id) whose (term, rb) groups are complete within the
+    partition (hash repartitioning guarantees it), emits block rows.
+
+    mapInArrow, not mapInPandas, deliberately: a pandas kernel would box
+    every term of every posting row into a Python string (~10^7 objects per
+    task — measured 2/3 of stage time); here group boundaries are computed
+    on the Arrow string array with C-level compares and Python only ever
+    sees one term string PER GROUP and one bytes object per block.  Groups
+    split across batch boundaries are carried into the next batch.
+    """
+    import pyarrow as pa
+
+    def encode_partition(batches):
+        carry: pa.Table | None = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+            n = tbl.num_rows
+            if n == 0:
+                carry = None
+                continue
+            terms = tbl.column("term").combine_chunks()
+            rbs = tbl.column("rb").to_numpy()
+            # group change where term or rb differs from previous row (C-level)
+            if n > 1:
+                tneq = pa.compute.invert(
+                    pa.compute.equal(terms.slice(1), terms.slice(0, n - 1))
+                ).to_numpy(zero_copy_only=False)
+                change = np.flatnonzero(tneq | (rbs[1:] != rbs[:-1])) + 1
+            else:
+                change = np.empty(0, dtype=np.int64)
+            # hold back the trailing (possibly incomplete) group
+            tail_start = int(change[-1]) if len(change) else 0
+            carry = tbl.slice(tail_start) if tail_start < n else None
+            if tail_start:
+                yield _encode_table(
+                    tbl.slice(0, tail_start), terms, change[:-1], tail_start,
+                    avgdl, block_size,
+                )
+        if carry is not None and carry.num_rows:
+            terms = carry.column("term").combine_chunks()
+            rbs = carry.column("rb").to_numpy()
+            n = carry.num_rows
+            if n > 1:
+                tneq = pa.compute.invert(
+                    pa.compute.equal(terms.slice(1), terms.slice(0, n - 1))
+                ).to_numpy(zero_copy_only=False)
+                change = np.flatnonzero(tneq | (rbs[1:] != rbs[:-1])) + 1
+            else:
+                change = np.empty(0, dtype=np.int64)
+            yield _encode_table(carry, terms, change, n, avgdl, block_size)
+
+    return encode_partition
+
+
+def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int):
+    """Encode complete (term, rb) groups of an Arrow table slice into one
+    output RecordBatch.  ``change`` holds group-start offsets (excluding 0)
+    within the first ``n_rows`` rows."""
+    import pyarrow as pa
+
+    doc_ids = tbl.column("doc_id").to_numpy()[:n_rows]
+    tfs = tbl.column("tf").to_numpy()[:n_rows]
+    doclens = tbl.column("doclen").to_numpy()[:n_rows]
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n_rows]))
+    rows: list[dict] = []
+    prev_term = None
+    for s, e in zip(starts, ends):
+        term = terms[int(s)].as_py()  # ONE python string per group
+        rb_base = rows[-1]["block_id"] + 1 if term == prev_term else 0
+        rows.extend(
+            encode_run(term, doc_ids[s:e], tfs[s:e], doclens[s:e],
+                       avgdl, block_size, rb_base)
+        )
+        prev_term = term
+    return pa.RecordBatch.from_pydict(
+        {c: [r[c] for r in rows] for c in _BLOCK_COLS},
+        schema=pa.schema(
+            [
+                ("term", pa.string()),
+                ("block_id", pa.int32()),
+                ("min_doc_id", pa.int64()),
+                ("max_doc_id", pa.int64()),
+                ("n_postings", pa.int32()),
+                ("block_max_tfnorm", pa.float64()),
+                ("doc_ids_vb", pa.binary()),
+                ("tfs_vb", pa.binary()),
+                ("doclens_vb", pa.binary()),
+            ]
+        ),
+    )
 
 
 def _tokenize_tf_batches(batches):
     """mapInPandas kernel: (doc_id, lang, content) -> (doc_id, term, tf,
     doclen) — tokenization, per-doc tf, and doclen in ONE pass with no
-    shuffle (tf is a per-document-local aggregate)."""
-    from collections import Counter
+    shuffle (tf is a per-document-local aggregate).
 
-    from horus_ner_spark.functions.tokenizer import tokenize
+    Output rows are assembled with C-level list extends + np.repeat, never
+    per-posting Python appends: at ~150 postings/doc the row assembly would
+    otherwise cost more than tokenization itself."""
+    from horus_ner_spark.functions.tokenizer import tokenize_tf
 
     for pdf in batches:
-        doc_ids, terms, tfs, doclens = [], [], [], []
-        for doc_id, lang, content in zip(pdf["doc_id"], pdf["lang"], pdf["content"]):
-            toks = tokenize(content, lang)
-            dl = len(toks)
-            for term, tf in Counter(toks).items():
-                doc_ids.append(doc_id)
-                terms.append(term)
-                tfs.append(tf)
-                doclens.append(dl)
+        terms: list[str] = []
+        tfs: list[int] = []
+        n_rows: list[int] = []
+        doclens: list[int] = []
+        for lang, content in zip(pdf["lang"], pdf["content"]):
+            c = tokenize_tf(content, lang)
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+            n_rows.append(len(c))
+            doclens.append(sum(c.values()))
+        rep = np.asarray(n_rows, dtype=np.int64)
         yield pd.DataFrame(
-            {"doc_id": doc_ids, "term": terms, "tf": tfs, "doclen": doclens}
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), rep),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int64),
+                "doclen": np.repeat(np.asarray(doclens, dtype=np.int64), rep),
+            }
         )
+
+
+def _parquet_file_metrics(path: str, row_key: dict[str, str]) -> list[dict]:
+    """Per-output-file manifest metrics straight from parquet footers —
+    metadata reads only, no Spark job over the data."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for i, fname in enumerate(sorted(os.listdir(path))):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        rec = {"partition_id": i, "file": fname}
+        for src, dst in row_key.items():
+            if src == "num_rows":
+                rec[dst] = md.num_rows
+        out.append(rec)
+    return out
+
+
+def _postings_bucket_metrics(path: str) -> list[dict]:
+    """Per-pbucket postings metrics from footers: row-group statistics give
+    posting counts (sum of n_postings column via per-file scan of just that
+    int column) and compressed byte sizes come from column-chunk metadata."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("pbucket="):
+            continue
+        bucket = int(d.split("=", 1)[1])
+        postings = 0
+        vb_bytes = 0
+        for fname in os.listdir(os.path.join(path, d)):
+            if not fname.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(os.path.join(path, d, fname))
+            postings += int(
+                pq.read_table(
+                    os.path.join(path, d, fname), columns=["n_postings"]
+                )["n_postings"].to_pandas().sum()
+            )
+            md = f.metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema in ("doc_ids_vb", "tfs_vb"):
+                        vb_bytes += col.total_compressed_size
+        out.append(
+            {
+                "partition_id": bucket,
+                "postings_emitted": postings,
+                "bytes_compressed": vb_bytes,
+            }
+        )
+    return out
 
 
 def build_index(
@@ -186,6 +362,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     range_bits: int = RANGE_BITS,
     n_pbuckets: int = N_PBUCKETS,
+    split_threshold: int = SPLIT_THRESHOLD,
     fail_after_stage: str | None = None,
 ) -> IndexPaths:
     """Build (or resume) the full index at ``index_dir``.
@@ -202,8 +379,9 @@ def build_index(
         "block_size": block_size,
         "range_bits": range_bits,
         "n_pbuckets": n_pbuckets,
+        "split_threshold": split_threshold,
         "tokenizer": "code-aware-v1",
-        "layout": "v2",  # tf carries doclen; blocks store idf-free tfnorm max
+        "layout": "v3",  # hot-only rb salting; canonical per-term block_ids
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)
@@ -238,17 +416,12 @@ def build_index(
             .mapInPandas(_tokenize_tf_batches, schema=TF_SCHEMA)
         )
         tf.write.mode("overwrite").parquet(paths.tf)
-        tf_out = spark.read.parquet(paths.tf)
-        per_part = (
-            tf_out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.countDistinct("doc_id").alias("docs_tokenized"),
-                F.count(F.lit(1)).alias("postings_emitted"),
-            )
-            .collect()
-        )
+        # per-partition metrics from parquet footers: zero extra Spark jobs
+        # (docs are contiguous per output file, so min/max doc_id stats give
+        # per-file doc spans; row counts give postings emitted)
+        per_part = _parquet_file_metrics(paths.tf, {"num_rows": "postings_emitted"})
         man.commit_stage(
-            "tf", fp, [r.asDict() for r in per_part],
+            "tf", fp, per_part,
             {"postings_raw": sum(r["postings_emitted"] for r in per_part)},
         )
     _maybe_fail("tf")
@@ -293,15 +466,34 @@ def build_index(
         man.commit_stage("term_stats", fp, [{"partition_id": 0}], {"n_terms": n_terms})
     _maybe_fail("term_stats")
 
-    # ── Stage E: compressed posting blocks (single shuffle, no joins) ───────
+    # ── Stage E: compressed posting blocks (single shuffle, broadcast hot) ──
     if not man.stage_complete("postings", fp, paths.postings):
         stats = spark.read.parquet(paths.corpus_stats).collect()[0]
         avgdl = float(stats["avgdl"])
-        tf = spark.read.parquet(paths.tf).withColumn(
-            "rb", F.shiftright("doc_id", 64 - range_bits)
+        # Zipf head only: terms above the split threshold get rb salting
+        hot = (
+            spark.read.parquet(paths.term_stats)
+            .filter(F.col("df") > split_threshold)
+            .select("term", F.lit(True).alias("is_hot"))
         )
-        encode = _encode_groups_factory(avgdl, block_size)
-        blocks = tf.groupBy("term", "rb").applyInPandas(encode, POSTINGS_SCHEMA)
+        tf = (
+            spark.read.parquet(paths.tf)
+            .join(F.broadcast(hot), "term", "left")
+            .withColumn(
+                "rb",
+                F.when(
+                    F.col("is_hot"), F.shiftright("doc_id", 64 - range_bits)
+                ).otherwise(F.lit(0)),
+            )
+            .select("term", "rb", "doc_id", "tf", "doclen")
+        )
+        encode = _encode_arrow_factory(avgdl, block_size)
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        blocks = (
+            tf.repartition(n_parts, "term", "rb")
+            .sortWithinPartitions("term", "rb", "doc_id")
+            .mapInArrow(encode, POSTINGS_SCHEMA)
+        )
         (
             blocks.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
             .repartition(n_pbuckets, "pbucket")
@@ -310,22 +502,11 @@ def build_index(
             .partitionBy("pbucket")
             .parquet(paths.postings)
         )
-        out = spark.read.parquet(paths.postings)
-        per_bucket = (
-            out.groupBy(F.col("pbucket").alias("partition_id"))
-            .agg(
-                F.sum("n_postings").alias("postings_emitted"),
-                F.sum(
-                    F.length("doc_ids_vb") + F.length("tfs_vb")
-                ).alias("bytes_compressed"),
-            )
-            .orderBy("partition_id")
-            .collect()
-        )
+        per_bucket = _postings_bucket_metrics(paths.postings)
         man.commit_stage(
             "postings",
             fp,
-            [r.asDict() for r in per_bucket],
+            per_bucket,
             {
                 "postings_emitted": sum(r["postings_emitted"] for r in per_bucket),
                 "bytes_compressed": sum(r["bytes_compressed"] for r in per_bucket),

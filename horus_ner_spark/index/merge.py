@@ -35,16 +35,25 @@ from pyspark.sql import functions as F
 from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import (
+    _BLOCK_COLS,
     BLOCK_SIZE,
     N_PBUCKETS,
     POSTINGS_SCHEMA,
     RANGE_BITS,
+    SPLIT_THRESHOLD,
     IndexPaths,
+    encode_run,
 )
-from horus_ner_spark.index.codec import decode_block, encode_block, vb_decode, vb_encode
+from horus_ner_spark.index.codec import decode_block, vb_decode
 
 
-def _reblock_factory(avgdl: float, block_size: int):
+def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
+                     split_threshold: int):
+    """Per-term re-blocker replicating the build's canonical chunking: the
+    merged posting run is split by rb (doc_id high bits) iff the MERGED df
+    exceeds the split threshold — exactly the build's hot-term rule, with
+    df == posting count by definition, so no term_stats join is needed."""
+
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         term = pdf["term"].iloc[0]
         docs_l, tfs_l, dls_l = [], [], []
@@ -63,29 +72,22 @@ def _reblock_factory(avgdl: float, block_size: int):
             keep[0] = True
             keep[1:] = docs[1:] != docs[:-1]
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        tfnorms = tfs * (bm25.K1 + 1.0) / (
-            tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls.astype(np.float64) / avgdl)
-        )
-        rows = []
-        for start in range(0, len(docs), block_size):
-            d = docs[start : start + block_size]
-            dvb, tvb = encode_block(d, tfs[start : start + block_size])
-            rows.append(
-                {
-                    "term": term,
-                    "block_id": start // block_size,
-                    "min_doc_id": int(d[0]),
-                    "max_doc_id": int(d[-1]),
-                    "n_postings": len(d),
-                    "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
-                    "doc_ids_vb": dvb,
-                    "tfs_vb": tvb,
-                    "doclens_vb": vb_encode(
-                        dls[start : start + block_size].astype(np.uint64)
-                    ),
-                }
-            )
-        return pd.DataFrame(rows)
+        rows: list[dict] = []
+        if len(docs) > split_threshold:  # hot: chunk within each rb range
+            rbs = docs >> np.int64(64 - range_bits)
+            change = np.flatnonzero(rbs[1:] != rbs[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(docs)]))
+            base = 0
+            for s, e in zip(starts, ends):
+                rows.extend(
+                    encode_run(term, docs[s:e], tfs[s:e], dls[s:e],
+                               avgdl, block_size, base)
+                )
+                base = rows[-1]["block_id"] + 1
+        else:
+            rows = encode_run(term, docs, tfs, dls, avgdl, block_size)
+        return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return reblock
 
@@ -97,6 +99,7 @@ def merge_indexes(
     block_size: int = BLOCK_SIZE,
     range_bits: int = RANGE_BITS,
     n_pbuckets: int = N_PBUCKETS,
+    split_threshold: int = SPLIT_THRESHOLD,
 ) -> IndexPaths:
     """Merge N built index segments into a canonical combined index."""
     from horus_ner_spark.session import ensure_package_on_executors
@@ -145,15 +148,18 @@ def merge_indexes(
         .parquet(out.term_stats)
     )
 
-    # sort-merge the posting blocks per (term, range_bucket) — join-free:
-    # the merged avgdl scalar is the only corpus-level input to re-blocking.
+    # sort-merge the posting blocks per term — join-free: the merged avgdl
+    # scalar is the only corpus-level input to re-blocking, and the hot/cold
+    # chunking decision is local (df == merged posting count).  Merge-side
+    # skew is bounded by the hottest term's postings in one task; at true
+    # 10^12 scale, raise range_bits/lower block granularity or merge per rb
+    # once all segments are hot-built (blocks then never span rb bounds).
     blocks = None
     for seg in segments:
         b = spark.read.parquet(seg.postings).drop("pbucket")
         blocks = b if blocks is None else blocks.unionByName(b)
-    grouped = blocks.withColumn("rb", F.shiftright("min_doc_id", 64 - range_bits))
-    reblock = _reblock_factory(avgdl, block_size)
-    merged = grouped.groupBy("term", "rb").applyInPandas(reblock, POSTINGS_SCHEMA)
+    reblock = _reblock_factory(avgdl, block_size, range_bits, split_threshold)
+    merged = blocks.groupBy("term").applyInPandas(reblock, POSTINGS_SCHEMA)
     (
         merged.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
         .repartition(n_pbuckets, "pbucket")

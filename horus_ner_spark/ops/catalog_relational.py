@@ -367,6 +367,26 @@ FROM part
 """
 
 
+def tumbling_window_events(spark, sf_dir):
+    """Tumbling 1-hour windowed counts — the batch form of the streaming
+    watermarked aggregation (streaming/incremental.py; same function runs
+    on the stream).  Reference analog: none (reference is batch-only,
+    SURVEY.md §2.9)."""
+    from horus_ner_spark.streaming.incremental import windowed_event_counts
+
+    return windowed_event_counts(spark, _t(spark, sf_dir, "events"))
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 ENTRIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -382,4 +402,5 @@ ENTRIES: dict[str, tuple] = {
     "region_customer_rollup": (region_customer_rollup, REGION_ROLLUP_SQL),
     "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
     "case_shape_features": (case_shape_features, CASE_SHAPE_SQL),
+    "tumbling_window_events": (tumbling_window_events, TUMBLING_WINDOW_SQL),
 }

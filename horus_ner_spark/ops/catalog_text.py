@@ -639,6 +639,147 @@ SELECT bucket, lang, count(*) AS n FROM (
 """
 
 
+_IVF_N_CELLS = 8      # coarse centroids = embeddings with vec_id < 8
+_IVF_NPROBE = 2
+
+
+def _with_cell(e):
+    """Assign every vector to its nearest (max-cosine) coarse centroid.
+    Centroids are a broadcast-size list by construction — the IVF coarse
+    quantizer is always tiny relative to the collection."""
+    cents = e.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos",
+        F.expr(
+            "aggregate(zip_with(embedding, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        )
+        / (F.col("norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("vec_id", "embedding", "norm", "cell", "rn")
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: vectors assigned to their nearest of 8 coarse cells;
+    each query probes its own 2 nearest cells and ranks only vectors whose
+    HOME cell (rn=1) is probed.  The scale path next to the exact
+    ann_cosine_topk baseline: per-query work drops from O(N) to
+    O(N * nprobe / n_cells); at 100 TB the cells are the partition key so a
+    probe is a partition-pruned scan, not a broadcast cross join."""
+    e = _emb(spark, sf_dir).withColumn(
+        "norm", F.expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    )
+    cells = _with_cell(e)
+    home = cells.filter(F.col("rn") == 1)  # vector -> home cell
+    q = (
+        cells.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("cell").alias("probe_cell"),
+        )
+    )
+    scored = (
+        home.join(F.broadcast(q), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("norm") * F.col("q_norm")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS norm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb, norm AS c_norm FROM e
+  WHERE vec_id < {_IVF_N_CELLS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.norm, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.embedding, cents.c_emb) / (e.norm * cents.c_norm) DESC,
+                    cents.cell ASC
+         ) AS rn
+  FROM e, cents
+),
+home AS (SELECT * FROM assigned WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell AS probe_cell
+  FROM assigned WHERE vec_id IN {_ANN_QUERY_IDS} AND rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, home.vec_id,
+         round(list_dot_product(home.embedding, q.q_emb) / (home.norm * q.q_norm), 4) AS cosine
+  FROM home JOIN q ON home.cell = q.probe_cell
+  WHERE home.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (letter runs | digit runs | single punctuation) —
+    the train-data budgeting op.  Pure JVM regexp, no UDF."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " +")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).withColumn(
+        "chars_per_bpe_token",
+        F.round(F.col("n_chars_actual") / F.col("bpe_tokens"), 4),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, ' +')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       round(length(text) / CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE), 4)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+
 ENTRIES: dict[str, tuple] = {
     "doc_tf": (doc_tf, DOC_TF_SQL),
     "term_stats_docs": (term_stats_docs, TERM_STATS_SQL),
@@ -651,6 +792,8 @@ ENTRIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embed_cosine_pairs": (embed_cosine_pairs, EMBED_COSINE_PAIRS_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),

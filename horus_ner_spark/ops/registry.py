@@ -4,12 +4,18 @@ tests/test_ops_catalog.py (which runs the same comparison the driver runs)."""
 
 from __future__ import annotations
 
-from horus_ner_spark.ops import catalog_relational, catalog_text, engine_entries
+from horus_ner_spark.ops import (
+    catalog_relational,
+    catalog_text,
+    engine_entries,
+    multimodal,
+)
 
 ALL_ENTRIES: dict[str, tuple] = {}
 ALL_ENTRIES.update(catalog_relational.ENTRIES)
 ALL_ENTRIES.update(catalog_text.ENTRIES)
 ALL_ENTRIES.update(engine_entries.ENTRIES)
+ALL_ENTRIES.update(multimodal.ENTRIES)
 
 
 def queries():

@@ -1,0 +1,72 @@
+"""CoNLL reader: sentence segmentation, DOCSTART skip, blank-run collapse,
+column-index configurability (reference: util.py:816-877, 1285-1320)."""
+
+import textwrap
+
+from horus_ner_spark.sources.conll import conll_sentence_stats, read_conll
+
+RITTER_2COL = textwrap.dedent("""\
+    -DOCSTART- -X-
+
+    Obama B-person
+    visited O
+    Paris B-geo-loc
+
+    yes O
+    .. O
+
+
+    EU B-org
+""")
+
+CONLL_4COL = textwrap.dedent("""\
+    West NNP I-NP I-MISC
+    Indian NNP I-NP I-MISC
+    all-rounder NN I-NP O
+
+    Their PRP$ I-NP O
+""")
+
+
+def test_ritter_two_col(spark, tmp_path):
+    p = tmp_path / "ritter.txt"
+    p.write_text(RITTER_2COL)
+    rows = sorted(
+        (r["sent_id"], r["word_idx"], r["token"], r["ner"])
+        for r in read_conll(spark, str(p), token_index=0, ner_index=1).collect()
+    )
+    assert rows == [
+        (0, 0, "Obama", "B-person"),
+        (0, 1, "visited", "O"),
+        (0, 2, "Paris", "B-geo-loc"),
+        (1, 0, "yes", "O"),
+        (1, 1, "..", "O"),
+        (2, 0, "EU", "B-org"),  # double blank collapses to one boundary
+    ]
+
+
+def test_conll_four_col_and_stats(spark, tmp_path):
+    p = tmp_path / "conll.txt"
+    p.write_text(CONLL_4COL)
+    df = read_conll(spark, str(p), token_index=0, ner_index=3)
+    rows = sorted(
+        (r["sent_id"], r["word_idx"], r["token"], r["ner"]) for r in df.collect()
+    )
+    assert rows == [
+        (0, 0, "West", "I-MISC"),
+        (0, 1, "Indian", "I-MISC"),
+        (0, 2, "all-rounder", "O"),
+        (1, 0, "Their", "O"),
+    ]
+    stats = conll_sentence_stats(df).collect()[0]
+    assert (stats["n_sentences"], stats["n_tokens"], stats["n_entity_tokens"]) == (2, 4, 2)
+
+
+def test_multi_file_parallel_parse(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("x O\n\ny O\n")
+    (tmp_path / "b.txt").write_text("z B-org\n")
+    df = read_conll(spark, str(tmp_path), token_index=0, ner_index=1)
+    per_file = {
+        r["file"]: r["n_sentences"] for r in conll_sentence_stats(df).collect()
+    }
+    assert per_file == {"a.txt": 2, "b.txt": 1}

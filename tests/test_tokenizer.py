@@ -57,3 +57,20 @@ def test_series_form_matches_scalar():
     langs = pd.Series(["python", "python", "python"])
     out = tokenize_series(texts, langs)
     assert list(out) == [tokenize(t, "python") for t in texts]
+
+
+def test_tokenize_tf_matches_counter():
+    from collections import Counter
+
+    from horus_ner_spark.functions.tokenizer import tokenize, tokenize_tf
+    from horus_ner_spark.corpus import gen_doc
+
+    for i in range(200):
+        d = gen_doc(i, n_repos=10)
+        assert tokenize_tf(d["content"], d["lang"]) == dict(
+            Counter(tokenize(d["content"], d["lang"]))
+        ), i
+    assert tokenize_tf("", "python") == {}
+    assert tokenize_tf(None, "python") == {}
+    # case variants fold into one key with summed counts
+    assert tokenize_tf("Config CONFIG config", "java") == {"config": 3}
