@@ -403,9 +403,9 @@ def build_index(
             F.sha2("content", 256).alias("content_sha256"),
         )
         docs.write.mode("overwrite").parquet(paths.docs)
-        n = spark.read.parquet(paths.docs).count()
-        man.commit_stage("docs", fp, [{"partition_id": 0, "docs_tokenized": n}],
-                         {"n_docs": n})
+        per_file = _parquet_file_metrics(paths.docs, {"num_rows": "docs_tokenized"})
+        man.commit_stage("docs", fp, per_file,
+                         {"n_docs": sum(r["docs_tokenized"] for r in per_file)})
     _maybe_fail("docs")
 
     # ── Stage B: tf (the single tokenization pass; shuffle-free) ────────────
@@ -434,10 +434,20 @@ def build_index(
         tf = spark.read.parquet(paths.tf)
         doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         doclens.write.mode("overwrite").parquet(paths.doclens)
-        n_docs = spark.read.parquet(paths.docs).count()  # includes empty docs
-        total_len = spark.read.parquet(paths.doclens).agg(
-            F.sum("doclen").alias("t")
-        ).collect()[0]["t"] or 0
+        # totals driver-side with no Spark jobs: n_docs (incl. empty docs)
+        # from docs-stage footers, sum(doclen) via a single-column arrow read
+        # of the (one-row-per-doc) doclens table
+        import pyarrow.parquet as pq
+
+        n_docs = man.read_stage("docs")["totals"]["n_docs"]
+        total_len = 0
+        for fname in os.listdir(paths.doclens):
+            if fname.endswith(".parquet"):
+                total_len += int(
+                    pq.read_table(
+                        os.path.join(paths.doclens, fname), columns=["doclen"]
+                    )["doclen"].to_pandas().sum()
+                )
         avgdl = float(total_len) / n_docs if n_docs else 0.0
         spark.createDataFrame(
             [(n_docs, avgdl)], "n_docs long, avgdl double"
@@ -462,7 +472,9 @@ def build_index(
             .partitionBy("pbucket")
             .parquet(paths.term_stats)
         )
-        n_terms = spark.read.parquet(paths.term_stats).count()
+        import pyarrow.dataset as pads
+
+        n_terms = pads.dataset(paths.term_stats, partitioning="hive").count_rows()
         man.commit_stage("term_stats", fp, [{"partition_id": 0}], {"n_terms": n_terms})
     _maybe_fail("term_stats")
 
@@ -494,14 +506,23 @@ def build_index(
             .sortWithinPartitions("term", "rb", "doc_id")
             .mapInArrow(encode, POSTINGS_SCHEMA)
         )
-        (
-            blocks.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
-            .repartition(n_pbuckets, "pbucket")
-            .sortWithinPartitions("term", "min_doc_id")
-            .write.mode("overwrite")
-            .partitionBy("pbucket")
-            .parquet(paths.postings)
-        )
+        # postings rows are 5 narrow columns: feed the kernel 128k-row Arrow
+        # batches (~5 MB) instead of the 10k default sized for wide
+        # content-carrying frames — fewer batch round-trips per 10^8 rows
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = spark.conf.get(batch_key)
+        spark.conf.set(batch_key, "131072")
+        try:
+            (
+                blocks.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+                .repartition(n_pbuckets, "pbucket")
+                .sortWithinPartitions("term", "min_doc_id")
+                .write.mode("overwrite")
+                .partitionBy("pbucket")
+                .parquet(paths.postings)
+            )
+        finally:
+            spark.conf.set(batch_key, old_batch)
         per_bucket = _postings_bucket_metrics(paths.postings)
         man.commit_stage(
             "postings",

@@ -73,8 +73,11 @@ def orchestrate() -> None:
     # (min) build time per level is used — min-of-k is robust to slow-host
     # windows and alternation removes systematic drift bias between levels.
     reps = int(os.environ.get("SCALING_REPS", "1"))
+    lo, hi = CORES_LEVELS
+    pair_effs: list[float] = []
     results: dict[int, dict] = {}
     for r in range(reps):
+        rep_rec: dict[int, dict] = {}
         for cores in CORES_LEVELS:
             shutil.rmtree(f"{work}/ix_{cores}", ignore_errors=True)
             out = subprocess.run(
@@ -85,13 +88,20 @@ def orchestrate() -> None:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
             print(f"rep{r} " + line)
+            rep_rec[cores] = rec
             prev = results.get(cores)
             if prev is None or rec["build_s"] < prev["build_s"]:
                 results[cores] = rec
+        # paired efficiency within the rep: both levels as close in time as
+        # possible, so host-speed drift cancels to first order
+        pe = (rep_rec[lo]["build_s"] / rep_rec[hi]["build_s"]) / (hi / lo)
+        pair_effs.append(round(pe, 3))
+        print(f"rep{r} paired_efficiency {pe:.3f}")
 
-    lo, hi = CORES_LEVELS
+    import statistics
+
+    eff = statistics.median(pair_effs)
     thr = {c: n_docs / results[c]["build_s"] for c in CORES_LEVELS}
-    eff = (thr[hi] / thr[lo]) / (hi / lo)
     summary = {
         "sf": SF, "n_docs": n_docs,
         f"build_s_local{lo}": results[lo]["build_s"],
@@ -100,6 +110,7 @@ def orchestrate() -> None:
         f"docs_per_sec_local{hi}": round(thr[hi], 1),
         f"query_batch_s_local{lo}": results[lo]["query_batch_s"],
         f"query_batch_s_local{hi}": results[hi]["query_batch_s"],
+        "paired_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
@@ -112,7 +123,8 @@ def orchestrate() -> None:
                 f"| local[{c}] | {results[c]['build_s']} | {round(thr[c],1)} | {results[c]['query_batch_s']} |\n"
                 for c in CORES_LEVELS
             )
-            + f"\nScaling efficiency (thr_{hi}/thr_{lo})/{hi//lo} = **{eff:.3f}**\n"
+            + f"\nPer-rep paired efficiencies: {pair_effs}; "
+            f"median scaling efficiency = **{eff:.3f}**\n"
         )
 
 
