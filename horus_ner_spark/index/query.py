@@ -205,6 +205,69 @@ class _TermIter:
 # to exhaustive scoring.
 _EPS = 1e-6
 
+# Hybrid execution threshold: below this many candidate postings, decoding
+# everything and scoring vectorized (numpy, C speed over all postings) beats
+# WAND's pointer arithmetic (Python speed over the *surviving* postings).
+# WAND's asymptotic skipping only pays once lists are long enough that
+# block-max pruning eliminates far more work than the interpreter overhead
+# costs — the crossover measured here is in the millions of postings.
+_EXHAUSTIVE_MAX_POSTINGS = 4_000_000
+
+
+def _exhaustive_one_query(
+    term_blocks: dict[str, pd.DataFrame],
+    term_df: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+) -> list[tuple[int, int, float]]:
+    """Decode-all vectorized BM25 — same quantize-then-rank contract as WAND
+    (terms processed in sorted order; per-doc contributions accumulate in
+    that order via a stable sort), so results are rank-identical."""
+    docs_l: list[np.ndarray] = []
+    scores_l: list[np.ndarray] = []
+    for t in sorted(term_blocks):
+        b = term_blocks[t]
+        if not len(b):
+            continue
+        t_idf = bm25.idf(n_docs, term_df[t])
+        for dvb, tvb, lvb in zip(b["doc_ids_vb"], b["tfs_vb"], b["doclens_vb"]):
+            d, tf = decode_block(bytes(dvb), bytes(tvb))
+            dl = vb_decode(bytes(lvb)).view(np.int64)
+            tfn = tf * (bm25.K1 + 1.0) / (
+                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
+            )
+            docs_l.append(d)
+            scores_l.append(t_idf * tfn)
+    if not docs_l:
+        return []
+    docs = np.concatenate(docs_l)
+    scores = np.concatenate(scores_l)
+    order = np.argsort(docs, kind="stable")  # stable keeps term-sorted order
+    docs, scores = docs[order], scores[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1)
+    )
+    uniq = docs[starts]
+    q = np.round(np.add.reduceat(scores, starts), bm25.QUANT)
+    top = np.lexsort((uniq, -q))[:k]  # score desc, doc_id asc
+    return [(r + 1, int(uniq[i]), float(q[i])) for r, i in enumerate(top)]
+
+
+def _score_one_query(
+    term_blocks: dict[str, pd.DataFrame],
+    term_df: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+) -> list[tuple[int, int, float]]:
+    """Hybrid dispatch: vectorized exhaustive below the postings threshold,
+    block-max WAND above it.  Both obey the same determinism contract."""
+    total = sum(int(b["n_postings"].sum()) for b in term_blocks.values() if len(b))
+    if total <= _EXHAUSTIVE_MAX_POSTINGS:
+        return _exhaustive_one_query(term_blocks, term_df, k, n_docs, avgdl)
+    return _wand_one_query(term_blocks, term_df, k, n_docs, avgdl)
+
 
 def _wand_one_query(
     term_blocks: dict[str, pd.DataFrame],
@@ -289,9 +352,12 @@ def bm25_wand(
     paths: IndexPaths,
     queries: list[dict],
     n_pbuckets: int = N_PBUCKETS,
+    force_wand: bool = False,
 ) -> DataFrame:
-    """results(query_id, rank, doc_id, score) via block-max WAND over the
-    compressed index.  Rank-identical to ``bm25_bruteforce`` (tested)."""
+    """results(query_id, rank, doc_id, score) over the compressed index via
+    hybrid execution (vectorized exhaustive / block-max WAND per query —
+    see _score_one_query).  Rank-identical to ``bm25_bruteforce`` (tested).
+    ``force_wand=True`` pins the WAND kernel (kernel-equality tests)."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
@@ -330,7 +396,8 @@ def bm25_wand(
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         term_blocks = {t: g for t, g in pdf.groupby("term")}
-        rows = _wand_one_query(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        kernel = _wand_one_query if force_wand else _score_one_query
+        rows = kernel(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
             columns=["query_id", "rank", "doc_id", "score"],

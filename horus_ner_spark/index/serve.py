@@ -18,7 +18,8 @@ Pruning parity is guaranteed because the bucket hash (crc32, bucketing.py)
 is bit-identical in Spark and Python.
 
 Results are rank-identical to bm25_wand / bm25_bruteforce / the oracle:
-same WAND kernel (_wand_one_query), same quantize-then-rank contract
+same hybrid kernel (_score_one_query: vectorized exhaustive below a
+postings threshold, block-max WAND above), same quantize-then-rank contract
 (asserted in tests/test_serve.py).
 """
 
@@ -34,7 +35,7 @@ import pyarrow.parquet as pq
 from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index.build import N_PBUCKETS, IndexPaths
-from horus_ner_spark.index.query import _wand_one_query
+from horus_ner_spark.index.query import _score_one_query
 
 _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
@@ -98,7 +99,7 @@ class IndexServer:
         """Top-k for one query -> (rank, doc_id, score)."""
         terms = sorted(set(tokenize(query_text, lang)))
         loaded = self._load_terms(terms)
-        rows = _wand_one_query(
+        rows = _score_one_query(
             {t: b for t, (_df, b) in loaded.items()},
             {t: df for t, (df, _b) in loaded.items()},
             k, self.n_docs, self.avgdl,
@@ -119,7 +120,7 @@ class IndexServer:
             qid = q["query_id"]
             sub = {t: loaded[t][1] for t in per_q[qid] if t in loaded}
             dfs = {t: loaded[t][0] for t in per_q[qid] if t in loaded}
-            rows = _wand_one_query(sub, dfs, q.get("k", 10), self.n_docs, self.avgdl)
+            rows = _score_one_query(sub, dfs, q.get("k", 10), self.n_docs, self.avgdl)
             if not rows:
                 continue
             frames.append(

@@ -78,13 +78,18 @@ def test_bruteforce_matches_oracle(spark, sf001_index, oracle_results):
 
 
 def test_wand_matches_bruteforce_and_oracle(spark, sf001_index, oracle_results):
+    """All four execution paths agree: DataFrame brute force, the pinned
+    block-max WAND kernel, the hybrid default (vectorized exhaustive at this
+    scale), and the pure-Python oracle."""
     _, paths = sf001_index
     brute = _collect_results(bm25_bruteforce(spark, paths, query_set()))
-    wand = _collect_results(bm25_wand(spark, paths, query_set()))
+    wand = _collect_results(bm25_wand(spark, paths, query_set(), force_wand=True))
+    hybrid = _collect_results(bm25_wand(spark, paths, query_set()))
     for q in query_set():
         qid = q["query_id"]
         assert wand.get(qid, []) == brute.get(qid, []), f"query {qid} wand!=brute"
         assert wand.get(qid, []) == oracle_results.get(qid, []), f"query {qid} wand!=oracle"
+        assert hybrid.get(qid, []) == wand.get(qid, []), f"query {qid} hybrid!=wand"
 
 
 def test_empty_and_rare_queries(spark, sf001_index, oracle_results):
