@@ -62,6 +62,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from horus_ner_spark import catalog
 from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.manifest import Manifest, corpus_fingerprint
@@ -386,7 +387,7 @@ def build_index(
     }
     fp = corpus_fingerprint(corpus_path, conf)
     man = Manifest(index_dir)
-    corpus = spark.read.parquet(corpus_path)
+    corpus = catalog.read_table(spark, corpus_path)
 
     def _maybe_fail(stage: str) -> None:
         if fail_after_stage == stage:
@@ -402,7 +403,7 @@ def build_index(
             "lang",
             F.sha2("content", 256).alias("content_sha256"),
         )
-        docs.write.mode("overwrite").parquet(paths.docs)
+        catalog.write_table(docs, paths.docs)
         per_file = _parquet_file_metrics(paths.docs, {"num_rows": "docs_tokenized"})
         man.commit_stage("docs", fp, per_file,
                          {"n_docs": sum(r["docs_tokenized"] for r in per_file)})
@@ -415,7 +416,7 @@ def build_index(
             .select("doc_id", "lang", "content")
             .mapInPandas(_tokenize_tf_batches, schema=TF_SCHEMA)
         )
-        tf.write.mode("overwrite").parquet(paths.tf)
+        catalog.write_table(tf, paths.tf)
         # per-partition metrics from parquet footers: zero extra Spark jobs
         # (docs are contiguous per output file, so min/max doc_id stats give
         # per-file doc spans; row counts give postings emitted)
@@ -431,9 +432,9 @@ def build_index(
         man.stage_complete("stats", fp, paths.doclens)
         and os.path.exists(os.path.join(paths.corpus_stats, "_SUCCESS"))
     ):
-        tf = spark.read.parquet(paths.tf)
+        tf = catalog.read_table(spark, paths.tf)
         doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
-        doclens.write.mode("overwrite").parquet(paths.doclens)
+        catalog.write_table(doclens, paths.doclens)
         # totals driver-side with no Spark jobs: n_docs (incl. empty docs)
         # from docs-stage footers, sum(doclen) via a single-column arrow read
         # of the (one-row-per-doc) doclens table
@@ -449,9 +450,12 @@ def build_index(
                     )["doclen"].to_pandas().sum()
                 )
         avgdl = float(total_len) / n_docs if n_docs else 0.0
-        spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+        catalog.write_table(
+            spark.createDataFrame(
+                [(n_docs, avgdl)], "n_docs long, avgdl double"
+            ).coalesce(1),
+            paths.corpus_stats,
+        )
         man.commit_stage("stats", fp, [{"partition_id": 0, "docs_tokenized": n_docs}],
                          {"n_docs": n_docs, "avgdl": avgdl})
     _maybe_fail("stats")
@@ -461,17 +465,15 @@ def build_index(
     # serving path and the distributed query path resolve query-term idf with
     # directory + row-group pruning (same layout as the postings table).
     if not man.stage_complete("term_stats", fp, paths.term_stats):
-        tf = spark.read.parquet(paths.tf)
-        (
+        tf = catalog.read_table(spark, paths.tf)
+        ts = (
             tf.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
             .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
             .repartition(n_pbuckets, "pbucket")
             .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("pbucket")
-            .parquet(paths.term_stats)
         )
+        catalog.write_table(ts, paths.term_stats, partition_by=("pbucket",))
         import pyarrow.dataset as pads
 
         n_terms = pads.dataset(paths.term_stats, partitioning="hive").count_rows()
@@ -480,16 +482,16 @@ def build_index(
 
     # ── Stage E: compressed posting blocks (single shuffle, broadcast hot) ──
     if not man.stage_complete("postings", fp, paths.postings):
-        stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+        stats = catalog.read_table(spark, paths.corpus_stats).collect()[0]
         avgdl = float(stats["avgdl"])
         # Zipf head only: terms above the split threshold get rb salting
         hot = (
-            spark.read.parquet(paths.term_stats)
+            catalog.read_table(spark, paths.term_stats)
             .filter(F.col("df") > split_threshold)
             .select("term", F.lit(True).alias("is_hot"))
         )
         tf = (
-            spark.read.parquet(paths.tf)
+            catalog.read_table(spark, paths.tf)
             .join(F.broadcast(hot), "term", "left")
             .withColumn(
                 "rb",
@@ -513,13 +515,12 @@ def build_index(
         old_batch = spark.conf.get(batch_key)
         spark.conf.set(batch_key, "131072")
         try:
-            (
+            catalog.write_table(
                 blocks.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
                 .repartition(n_pbuckets, "pbucket")
-                .sortWithinPartitions("term", "min_doc_id")
-                .write.mode("overwrite")
-                .partitionBy("pbucket")
-                .parquet(paths.postings)
+                .sortWithinPartitions("term", "min_doc_id"),
+                paths.postings,
+                partition_by=("pbucket",),
             )
         finally:
             spark.conf.set(batch_key, old_batch)
@@ -542,10 +543,10 @@ def verify_sha_invariant(spark: SparkSession, corpus_path: str, paths: IndexPath
     """Per-row invariant vs the source table (BASELINE.json input_hint):
     returns the number of docs whose stored content_sha256 mismatches a fresh
     sha2(content, 256) of the source row.  Must be 0."""
-    fresh = with_doc_id(spark.read.parquet(corpus_path)).select(
+    fresh = with_doc_id(catalog.read_table(spark, corpus_path)).select(
         "doc_id", F.sha2("content", 256).alias("sha_fresh")
     )
-    stored = spark.read.parquet(paths.docs).select("doc_id", "content_sha256")
+    stored = catalog.read_table(spark, paths.docs).select("doc_id", "content_sha256")
     return (
         stored.join(fresh, "doc_id", "full_outer")
         .filter(

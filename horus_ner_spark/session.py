@@ -16,19 +16,11 @@ from pyspark.sql import SparkSession
 _PKG_MARKER = "_horus_pkg_shipped"
 
 
-def ensure_package_on_executors(spark: SparkSession) -> None:
-    """Ship horus_ner_spark to executor Python workers via addPyFile.
-
-    Required whenever the session was created by an external harness whose
-    working directory / PYTHONPATH does not include this repo: pandas-UDF
-    closures pickle references to this package and unpickle on workers.
-    This is the local-mode equivalent of the north rule's
-    ``spark-submit --py-files`` distribution. Idempotent per session.
-    """
-    if getattr(spark, _PKG_MARKER, False):
-        return
+def build_package_zip(zpath: str | None = None) -> str:
+    """Zip this package for distribution — the artifact handed to
+    ``spark-submit --py-files`` (see submit_job.py) and to addPyFile."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join("/tmp", f"horus_ner_spark_pkg_{os.getpid()}.zip")
+    zpath = zpath or os.path.join("/tmp", f"horus_ner_spark_pkg_{os.getpid()}.zip")
     tmp = zpath + ".tmp"  # rebuilt per process so code edits are never stale
     with zipfile.ZipFile(tmp, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
@@ -40,7 +32,21 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
                     )
                     z.write(p, arc)
     os.replace(tmp, zpath)
-    spark.sparkContext.addPyFile(zpath)
+    return zpath
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship horus_ner_spark to executor Python workers via addPyFile.
+
+    Required whenever the session was created by an external harness whose
+    working directory / PYTHONPATH does not include this repo: pandas-UDF
+    closures pickle references to this package and unpickle on workers.
+    This is the local-mode equivalent of the north rule's
+    ``spark-submit --py-files`` distribution. Idempotent per session.
+    """
+    if getattr(spark, _PKG_MARKER, False):
+        return
+    spark.sparkContext.addPyFile(build_package_zip())
     setattr(spark, _PKG_MARKER, True)
 
 

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the engine (north rule: "launches via
+spark-submit --py-files on multi-executor clusters").
+
+Usage (any Spark master — local[N], YARN, k8s; conf comes from spark-submit):
+
+    PYZ=$(python -c "import sys; sys.path.insert(0,'.'); \
+from horus_ner_spark.session import build_package_zip; print(build_package_zip())")
+
+    spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
+        build --corpus /data/corpus.parquet --index /data/ix
+
+    spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
+        query --index /data/ix --query "parse config" --lang python --k 10
+
+    spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
+        merge --segments /data/ix_a /data/ix_b --out /data/ix_merged
+
+Each subcommand prints one JSON line with its result summary; ``query``
+additionally prints one JSON line per result row.  Iceberg catalogs plug in
+via HORUS_TABLE_FORMAT + --conf (see horus_ner_spark/catalog.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="horus-ner-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="SPIMI build (or resume) an index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--lang", default="python")
+    q.add_argument("--k", type=int, default=10)
+    m = sub.add_parser("merge", help="sort-merge index segments")
+    m.add_argument("--segments", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()  # all conf from spark-submit
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from horus_ner_spark.index.build import IndexPaths, build_index
+    from horus_ner_spark.index.manifest import Manifest
+    from horus_ner_spark.index.merge import merge_indexes
+    from horus_ner_spark.index.query import bm25_wand
+
+    t0 = time.perf_counter()
+    if args.cmd == "build":
+        paths = build_index(spark, args.corpus, args.index)
+        totals = {
+            s: (Manifest(args.index).read_stage(s) or {}).get("totals", {})
+            for s in ("docs", "tf", "stats", "term_stats", "postings")
+        }
+        print(json.dumps({
+            "cmd": "build", "index": paths.root,
+            "elapsed_s": round(time.perf_counter() - t0, 3), "totals": totals,
+        }))
+    elif args.cmd == "query":
+        res = bm25_wand(
+            spark, IndexPaths(args.index),
+            [{"query_id": 0, "query_text": args.query, "lang": args.lang, "k": args.k}],
+        ).collect()
+        for r in res:
+            print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
+        print(json.dumps({
+            "cmd": "query", "n_results": len(res),
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+        }))
+    else:
+        out = merge_indexes(spark, [IndexPaths(s) for s in args.segments], args.out)
+        print(json.dumps({
+            "cmd": "merge", "out": out.root, "n_segments": len(args.segments),
+            "elapsed_s": round(time.perf_counter() - t0, 3),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Real spark-submit --py-files launch (north-rule launch mode): build an
+index then query it, each in a fresh spark-submit JVM, with the package
+shipped ONLY via --py-files (cwd pointed away from the repo so nothing
+resolves by accident)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from horus_ner_spark.corpus import gen_corpus_pandas
+from horus_ner_spark.session import build_package_zip
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_build_then_query(tmp_path):
+    corpus = tmp_path / "corpus.parquet"
+    gen_corpus_pandas(sf=0.001).iloc[:200].to_parquet(corpus, index=False)
+    pyz = build_package_zip(str(tmp_path / "pkg.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(*job_args):
+        out = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]", "--py-files", pyz,
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             os.path.join(REPO, "submit_job.py"), *job_args],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    built = submit("build", "--corpus", str(corpus), "--index", str(tmp_path / "ix"))
+    assert built[-1]["cmd"] == "build"
+    assert built[-1]["totals"]["postings"]["postings_emitted"] > 0
+
+    res = submit("query", "--index", str(tmp_path / "ix"),
+                 "--query", "parseConfig", "--lang", "python")
+    assert res[-1]["cmd"] == "query" and res[-1]["n_results"] > 0
+    assert res[0]["rank"] == 1 and isinstance(res[0]["doc_id"], int)
