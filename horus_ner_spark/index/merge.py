@@ -33,6 +33,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from horus_ner_spark.functions.bucketing import term_bucket_col
+from horus_ner_spark import catalog
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import (
     _BLOCK_COLS,
@@ -112,40 +113,44 @@ def merge_indexes(
     docs = None
     doclens = None
     for seg in segments:
-        d = spark.read.parquet(seg.docs)
-        dl = spark.read.parquet(seg.doclens)
+        d = catalog.read_table(spark, seg.docs)
+        dl = catalog.read_table(spark, seg.doclens)
         docs = d if docs is None else docs.unionByName(d)
         doclens = dl if doclens is None else doclens.unionByName(dl)
     docs = docs.dropDuplicates(["doc_id"])
     doclens = doclens.dropDuplicates(["doc_id"])
-    docs.write.mode("overwrite").parquet(out.docs)
-    doclens.write.mode("overwrite").parquet(out.doclens)
+    catalog.write_table(docs, out.docs)
+    catalog.write_table(doclens, out.doclens)
 
     # merged corpus stats
-    n_docs = spark.read.parquet(out.docs).count()
-    total_len = spark.read.parquet(out.doclens).agg(F.sum("doclen").alias("t")).collect()[0]["t"] or 0
+    n_docs = catalog.read_table(spark, out.docs).count()
+    total_len = catalog.read_table(spark, out.doclens).agg(
+        F.sum("doclen").alias("t")
+    ).collect()[0]["t"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
-    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(out.corpus_stats)
+    catalog.write_table(
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
+        ).coalesce(1),
+        out.corpus_stats,
+    )
 
     # merged tf (kept for the brute-force oracle path) + term stats
     tf = None
     for seg in segments:
-        t = spark.read.parquet(seg.tf)
+        t = catalog.read_table(spark, seg.tf)
         tf = t if tf is None else tf.unionByName(t)
     tf = tf.dropDuplicates(["doc_id", "term"])
-    tf.write.mode("overwrite").parquet(out.tf)
-    tf = spark.read.parquet(out.tf)
-    (
+    catalog.write_table(tf, out.tf)
+    tf = catalog.read_table(spark, out.tf)
+    catalog.write_table(
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
         .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
         .repartition(n_pbuckets, "pbucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("pbucket")
-        .parquet(out.term_stats)
+        .sortWithinPartitions("term"),
+        out.term_stats,
+        partition_by=("pbucket",),
     )
 
     # sort-merge the posting blocks per term — join-free: the merged avgdl
@@ -156,16 +161,15 @@ def merge_indexes(
     # once all segments are hot-built (blocks then never span rb bounds).
     blocks = None
     for seg in segments:
-        b = spark.read.parquet(seg.postings).drop("pbucket")
+        b = catalog.read_table(spark, seg.postings).drop("pbucket")
         blocks = b if blocks is None else blocks.unionByName(b)
     reblock = _reblock_factory(avgdl, block_size, range_bits, split_threshold)
     merged = blocks.groupBy("term").applyInPandas(reblock, POSTINGS_SCHEMA)
-    (
+    catalog.write_table(
         merged.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
         .repartition(n_pbuckets, "pbucket")
-        .sortWithinPartitions("term", "min_doc_id")
-        .write.mode("overwrite")
-        .partitionBy("pbucket")
-        .parquet(out.postings)
+        .sortWithinPartitions("term", "min_doc_id"),
+        out.postings,
+        partition_by=("pbucket",),
     )
     return out
