@@ -220,10 +220,15 @@ def _exhaustive_one_query(
     k: int,
     n_docs: int,
     avgdl: float,
+    require_all: int = 0,
 ) -> list[tuple[int, int, float]]:
     """Decode-all vectorized BM25 — same quantize-then-rank contract as WAND
     (terms processed in sorted order; per-doc contributions accumulate in
-    that order via a stable sort), so results are rank-identical."""
+    that order via a stable sort), so results are rank-identical.
+
+    ``require_all=n`` enables conjunctive (AND) semantics: only documents
+    matched by exactly n query terms rank (each term contributes at most
+    one posting per doc, so contribution count == matched-term count)."""
     docs_l: list[np.ndarray] = []
     scores_l: list[np.ndarray] = []
     for t in sorted(term_blocks):
@@ -250,6 +255,10 @@ def _exhaustive_one_query(
     )
     uniq = docs[starts]
     q = np.round(np.add.reduceat(scores, starts), bm25.QUANT)
+    if require_all:
+        counts = np.diff(np.concatenate((starts, [len(docs)])))
+        keep = counts == require_all
+        uniq, q = uniq[keep], q[keep]
     top = np.lexsort((uniq, -q))[:k]  # score desc, doc_id asc
     return [(r + 1, int(uniq[i]), float(q[i])) for r, i in enumerate(top)]
 

@@ -95,15 +95,32 @@ class IndexServer:
                     self._cache.popitem(last=False)
         return out
 
-    def search(self, query_text: str, lang: str = "python", k: int = 10) -> pd.DataFrame:
-        """Top-k for one query -> (rank, doc_id, score)."""
+    def search(self, query_text: str, lang: str = "python", k: int = 10,
+               mode: str = "OR") -> pd.DataFrame:
+        """Top-k for one query -> (rank, doc_id, score).
+
+        ``mode="AND"`` requires every query term to match (conjunctive
+        semantics; a term absent from the index makes the result empty) —
+        served by the vectorized exhaustive kernel."""
         terms = sorted(set(tokenize(query_text, lang)))
         loaded = self._load_terms(terms)
-        rows = _score_one_query(
-            {t: b for t, (_df, b) in loaded.items()},
-            {t: df for t, (df, _b) in loaded.items()},
-            k, self.n_docs, self.avgdl,
-        )
+        empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+        if mode.upper() == "AND":
+            if len(loaded) < len(terms):
+                return empty  # some term has no postings at all
+            from horus_ner_spark.index.query import _exhaustive_one_query
+
+            rows = _exhaustive_one_query(
+                {t: b for t, (_df, b) in loaded.items()},
+                {t: df for t, (df, _b) in loaded.items()},
+                k, self.n_docs, self.avgdl, require_all=len(terms),
+            )
+        else:
+            rows = _score_one_query(
+                {t: b for t, (_df, b) in loaded.items()},
+                {t: df for t, (df, _b) in loaded.items()},
+                k, self.n_docs, self.avgdl,
+            )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
 
     def search_batch(self, queries: list[dict]) -> pd.DataFrame:

@@ -200,6 +200,109 @@ FROM ranked WHERE rank <= {_BM25_K}
 BM25_TOPK_SQL = _bm25_sql()
 
 
+def bm25_conj_topk_docs(spark, sf_dir):
+    """Conjunctive (AND) BM25: only documents containing EVERY query term
+    rank, scored identically to the disjunctive path.  The HAVING-style
+    all-terms gate composes on the same scored frame — at scale the gate
+    runs before ranking, shrinking the top-k window input to the
+    intersection."""
+    n_terms = spark.createDataFrame(
+        [(qid, len(set(terms))) for qid, terms in BM25_DOC_QUERIES],
+        "query_id int, n_terms int",
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_TOKS2)).alias("term")
+    )
+    tf = docs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl")
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_DOC_QUERIES for t in sorted(set(terms))],
+        "query_id int, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf") * F.lit(2.2)
+                / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl")))
+            ),
+        )
+    )
+    agg = (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.countDistinct("term").alias("n_matched"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("n_matched") == F.col("n_terms"))  # AND semantics
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _bm25_conj_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_DOC_QUERIES for t in sorted(set(terms))
+    )
+    nvals = ", ".join(
+        f"({qid}, {len(set(terms))})" for qid, terms in BM25_DOC_QUERIES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS2}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {qvals}),
+qn(query_id, n_terms) AS (VALUES {nvals}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl)))
+         AS contrib
+  FROM tf JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), stats
+),
+agg AS (
+  SELECT query_id, doc_id, round(sum(contrib), 6) AS score,
+         count(DISTINCT term) AS n_matched
+  FROM scored GROUP BY query_id, doc_id
+),
+conj AS (
+  SELECT agg.query_id, agg.doc_id, agg.score
+  FROM agg JOIN qn USING (query_id) WHERE agg.n_matched = qn.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM conj
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+BM25_CONJ_TOPK_SQL = _bm25_conj_sql()
+
+
 def dedup_exact(spark, sf_dir):
     """Exact dedup via content hash: group key + survivor + group size.
     Reference analog: sentence cache probe-before-insert dedup,
@@ -785,6 +888,7 @@ ENTRIES: dict[str, tuple] = {
     "term_stats_docs": (term_stats_docs, TERM_STATS_SQL),
     "corpus_stats_docs": (corpus_stats_docs, CORPUS_STATS_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
+    "bm25_conj_topk_docs": (bm25_conj_topk_docs, BM25_CONJ_TOPK_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SQL),

@@ -45,3 +45,26 @@ def test_serve_rank_identical_to_wand(spark, sf001_index):
     assert [(int(r.rank), int(r.doc_id), float(r.score)) for r in single.itertuples()] == batch_q0
     again = server.search(q0["query_text"], q0["lang"], q0["k"])
     assert again.equals(single)
+
+
+def test_serve_and_mode(spark, sf001_index):
+    """Conjunctive mode: every returned doc contains ALL query terms; OR-mode
+    superset relation holds; unmatched conjunctions are empty."""
+    from horus_ner_spark.index.build import IndexPaths
+
+    _corpus_path, paths = sf001_index
+    server = IndexServer(paths.root)
+    q = "cache node tree"
+    both = server.search(q, "python", 50, mode="AND")
+    any_ = server.search(q, "python", 10_000, mode="OR")
+    assert len(both) > 0
+    # AND results are a subset of OR results with identical scores
+    or_scores = {int(r.doc_id): float(r.score) for r in any_.itertuples()}
+    for r in both.itertuples():
+        assert or_scores[int(r.doc_id)] == float(r.score)
+    # verify the containment property against the raw tf table
+    tf = spark.read.parquet(paths.tf)
+    for term in ["cache", "node", "tree"]:
+        with_term = {r["doc_id"] for r in tf.filter(tf.term == term).collect()}
+        assert {int(r.doc_id) for r in both.itertuples()} <= with_term
+    assert len(server.search("cache qqneverappearsxq", "python", 10, mode="AND")) == 0
