@@ -187,34 +187,58 @@ FROM m WHERE kind = 'video'
 def mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-blob feature extraction (stub): deterministic 4-dim 'embedding'
     from the payload bytes — stands in for SIFT/CNN features (reference:
-    sift.py:39-189) with the identical mapInPandas batch shape.  Rows-only
-    driver check (the md5-derived floats are not SQL-replicable)."""
+    sift.py:39-189) with the identical mapInPandas batch shape.
+
+    The 4 dims are emitted as scalar columns ``f0..f3`` (not
+    ``array<double>``) so the driver's order-insensitive canonicalizer can
+    sort and hash the frame; the payload is ``md5(doc_id) * 2``, whose four
+    little-endian u32 words are SQL-replicable via DuckDB's
+    ``md5_number_upper/lower`` (little-endian u64 of digest halves)."""
 
     def feats(batches):
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 payload = bytes(blob)[19:]
+                words = [
+                    int.from_bytes(payload[i : i + 4], "little")
+                    for i in range(0, 16, 4)
+                ]
                 rows.append(
                     {
                         "doc_id": doc_id,
-                        "feat": [
-                            round(int.from_bytes(payload[i : i + 4], "little")
-                                  / 0xFFFFFFFF, 6)
-                            for i in range(0, 16, 4)
-                        ],
+                        **{
+                            f"f{j}": round(w / 0xFFFFFFFF, 6)
+                            for j, w in enumerate(words)
+                        },
                     }
                 )
             yield pd.DataFrame(rows)
 
     return media_table(spark, sf_dir).mapInPandas(
-        feats, schema="doc_id long, feat array<double>"
+        feats, schema="doc_id long, f0 double, f1 double, f2 double, f3 double"
     )
+
+
+# md5_number_upper = LE u64 of digest bytes 0..7, lower = bytes 8..15;
+# f0..f3 are the LE u32 words of the digest, i.e. (upper % 2^32, upper >> 32,
+# lower % 2^32, lower >> 32), each normalized by 2^32-1 and rounded to 6 dp.
+# A decimal half-tie (where round-half-even vs half-away could differ) is
+# impossible: it would need w * 2_000_000 ≡ 4294967295 (mod 2*4294967295),
+# an even number equal to an odd one.
+MM_FEATURE_STUB_SQL = """
+SELECT doc_id,
+       round((md5_number_upper(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f0,
+       round((md5_number_upper(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f1,
+       round((md5_number_lower(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f2,
+       round((md5_number_lower(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f3
+FROM documents
+"""
 
 
 ENTRIES: dict[str, tuple] = {
     "mm_decode_metadata": (mm_decode_metadata, MM_DECODE_METADATA_SQL),
     "mm_resize_plan": (mm_resize_plan, MM_RESIZE_PLAN_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
-    "mm_feature_stub": (mm_feature_stub, None),
+    "mm_feature_stub": (mm_feature_stub, MM_FEATURE_STUB_SQL),
 }
