@@ -300,60 +300,88 @@ def _tokenize_tf_batches(batches):
         )
 
 
-def _parquet_file_metrics(path: str, row_key: dict[str, str]) -> list[dict]:
-    """Per-output-file manifest metrics straight from parquet footers —
-    metadata reads only, no Spark job over the data."""
-    import pyarrow.parquet as pq
+_METRICS_SCHEMA = "relpath string, num_rows long, col_sum long, vb_bytes long"
 
-    out = []
-    for i, fname in enumerate(sorted(os.listdir(path))):
-        if not fname.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, fname)).metadata
-        rec = {"partition_id": i, "file": fname}
-        for src, dst in row_key.items():
-            if src == "num_rows":
-                rec[dst] = md.num_rows
-        out.append(rec)
-    return out
+# footer column chunks whose compressed sizes count as "bytes_compressed"
+_VB_COLS = ("doc_ids_vb", "tfs_vb", "pos_vb")
 
 
-def _postings_bucket_metrics(path: str) -> list[dict]:
-    """Per-pbucket postings metrics from footers: row-group statistics give
-    posting counts (sum of n_postings column via per-file scan of just that
-    int column) and compressed byte sizes come from column-chunk metadata."""
-    import pyarrow.parquet as pq
+def _file_metrics(
+    spark: SparkSession, path: str, sum_col: str | None = None
+) -> list[dict]:
+    """Per-data-file metrics computed ON EXECUTORS, FS-agnostic.
 
-    out = []
-    for d in sorted(os.listdir(path)):
-        if not d.startswith("pbucket="):
-            continue
-        bucket = int(d.split("=", 1)[1])
-        postings = 0
-        vb_bytes = 0
-        for fname in os.listdir(os.path.join(path, d)):
-            if not fname.endswith(".parquet"):
-                continue
-            f = pq.ParquetFile(os.path.join(path, d, fname))
-            postings += int(
-                pq.read_table(
-                    os.path.join(path, d, fname), columns=["n_postings"]
-                )["n_postings"].to_pandas().sum()
-            )
-            md = f.metadata
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    if col.path_in_schema in ("doc_ids_vb", "tfs_vb"):
-                        vb_bytes += col.total_compressed_size
-        out.append(
-            {
-                "partition_id": bucket,
-                "postings_emitted": postings,
-                "bytes_compressed": vb_bytes,
-            }
+    The file listing goes through the catalog abstraction (the one
+    format/storage-specific primitive); each executor task then reads only
+    parquet FOOTER metadata (num_rows, column-chunk compressed sizes) plus,
+    when ``sum_col`` is given, a single narrow int column — never the data
+    through the driver.  At 10^12-file scale this is one small Spark job of
+    O(#files) metadata reads, parallel across the cluster; the round-1
+    version looped ``pq.read_table`` on the driver and required a POSIX
+    filesystem (flagged by the round-1 review)."""
+    from horus_ner_spark import catalog
+
+    files = [rp for rp, _sz in catalog.list_data_files(path, suffix=".parquet")]
+    if not files:
+        return []
+    base = path
+
+    def kern(batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for rp in pdf["relpath"]:
+                pf = pq.ParquetFile(os.path.join(base, rp))
+                md = pf.metadata
+                vb_bytes = 0
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema in _VB_COLS:
+                            vb_bytes += col.total_compressed_size
+                col_sum = 0
+                if sum_col is not None:
+                    col_sum = int(
+                        pc.sum(pf.read(columns=[sum_col])[sum_col]).as_py() or 0
+                    )
+                rows.append(
+                    {
+                        "relpath": rp,
+                        "num_rows": md.num_rows,
+                        "col_sum": col_sum,
+                        "vb_bytes": vb_bytes,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "relpath string")
+    n_tasks = min(len(files), 64)
+    out = fdf.repartition(n_tasks).mapInPandas(kern, _METRICS_SCHEMA).collect()
+    return sorted((r.asDict() for r in out), key=lambda r: r["relpath"])
+
+
+def _per_file_rows(metrics: list[dict], count_key: str) -> list[dict]:
+    return [
+        {"partition_id": i, "file": m["relpath"], count_key: m["num_rows"]}
+        for i, m in enumerate(metrics)
+    ]
+
+
+def _bucket_rows(metrics: list[dict]) -> list[dict]:
+    """Roll per-file metrics up to pbucket partitions (hive-style dirs)."""
+    agg: dict[int, dict] = {}
+    for m in metrics:
+        head = m["relpath"].split(os.sep, 1)[0]
+        bucket = int(head.split("=", 1)[1]) if "=" in head else -1
+        rec = agg.setdefault(
+            bucket,
+            {"partition_id": bucket, "postings_emitted": 0, "bytes_compressed": 0},
         )
-    return out
+        rec["postings_emitted"] += m["col_sum"]
+        rec["bytes_compressed"] += m["vb_bytes"]
+    return [agg[b] for b in sorted(agg)]
 
 
 def build_index(
@@ -373,6 +401,7 @@ def build_index(
     """
     from horus_ner_spark.session import ensure_package_on_executors
 
+    catalog.require_path_refs("build_index")  # manifest + metrics need path refs
     ensure_package_on_executors(spark)  # pandas-UDF closures unpickle on workers
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -393,8 +422,11 @@ def build_index(
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after stage {stage}")
 
+    import time
+
     # ── Stage A: docs (doc_id, metadata, per-row sha256 invariant) ──────────
     if not man.stage_complete("docs", fp, paths.docs):
+        t0 = time.monotonic()
         docs = with_doc_id(corpus).select(
             "doc_id",
             "repo",
@@ -404,26 +436,28 @@ def build_index(
             F.sha2("content", 256).alias("content_sha256"),
         )
         catalog.write_table(docs, paths.docs)
-        per_file = _parquet_file_metrics(paths.docs, {"num_rows": "docs_tokenized"})
-        man.commit_stage("docs", fp, per_file,
-                         {"n_docs": sum(r["docs_tokenized"] for r in per_file)})
+        per_file = _per_file_rows(_file_metrics(spark, paths.docs), "docs_tokenized")
+        man.commit_stage(
+            "docs", fp, per_file,
+            {"n_docs": sum(r["docs_tokenized"] for r in per_file),
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
     _maybe_fail("docs")
 
     # ── Stage B: tf (the single tokenization pass; shuffle-free) ────────────
     if not man.stage_complete("tf", fp, paths.tf):
+        t0 = time.monotonic()
         tf = (
             with_doc_id(corpus)
             .select("doc_id", "lang", "content")
             .mapInPandas(_tokenize_tf_batches, schema=TF_SCHEMA)
         )
         catalog.write_table(tf, paths.tf)
-        # per-partition metrics from parquet footers: zero extra Spark jobs
-        # (docs are contiguous per output file, so min/max doc_id stats give
-        # per-file doc spans; row counts give postings emitted)
-        per_part = _parquet_file_metrics(paths.tf, {"num_rows": "postings_emitted"})
+        per_part = _per_file_rows(_file_metrics(spark, paths.tf), "postings_emitted")
         man.commit_stage(
             "tf", fp, per_part,
-            {"postings_raw": sum(r["postings_emitted"] for r in per_part)},
+            {"postings_raw": sum(r["postings_emitted"] for r in per_part),
+             "wall_s": round(time.monotonic() - t0, 3)},
         )
     _maybe_fail("tf")
 
@@ -432,23 +466,21 @@ def build_index(
         man.stage_complete("stats", fp, paths.doclens)
         and os.path.exists(os.path.join(paths.corpus_stats, "_SUCCESS"))
     ):
+        t0 = time.monotonic()
         tf = catalog.read_table(spark, paths.tf)
         doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         catalog.write_table(doclens, paths.doclens)
-        # totals driver-side with no Spark jobs: n_docs (incl. empty docs)
-        # from docs-stage footers, sum(doclen) via a single-column arrow read
-        # of the (one-row-per-doc) doclens table
-        import pyarrow.parquet as pq
-
+        # n_docs (incl. zero-token docs, which have no doclens row) comes
+        # from the docs-stage manifest; sum(doclen) is one tiny column-pruned
+        # Spark agg over the one-row-per-doc doclens table — distributed and
+        # FS-agnostic (round 1 read every file on the driver with pyarrow).
         n_docs = man.read_stage("docs")["totals"]["n_docs"]
-        total_len = 0
-        for fname in os.listdir(paths.doclens):
-            if fname.endswith(".parquet"):
-                total_len += int(
-                    pq.read_table(
-                        os.path.join(paths.doclens, fname), columns=["doclen"]
-                    )["doclen"].to_pandas().sum()
-                )
+        total_len = (
+            catalog.read_table(spark, paths.doclens)
+            .agg(F.sum("doclen").alias("t"))
+            .collect()[0]["t"]
+            or 0
+        )
         avgdl = float(total_len) / n_docs if n_docs else 0.0
         catalog.write_table(
             spark.createDataFrame(
@@ -456,8 +488,11 @@ def build_index(
             ).coalesce(1),
             paths.corpus_stats,
         )
-        man.commit_stage("stats", fp, [{"partition_id": 0, "docs_tokenized": n_docs}],
-                         {"n_docs": n_docs, "avgdl": avgdl})
+        man.commit_stage(
+            "stats", fp, [{"partition_id": 0, "docs_tokenized": n_docs}],
+            {"n_docs": n_docs, "avgdl": avgdl,
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
     _maybe_fail("stats")
 
     # ── Stage D: term dictionary (df, cf) — map-side combine handles skew ───
@@ -465,6 +500,7 @@ def build_index(
     # serving path and the distributed query path resolve query-term idf with
     # directory + row-group pruning (same layout as the postings table).
     if not man.stage_complete("term_stats", fp, paths.term_stats):
+        t0 = time.monotonic()
         tf = catalog.read_table(spark, paths.tf)
         ts = (
             tf.groupBy("term")
@@ -474,14 +510,17 @@ def build_index(
             .sortWithinPartitions("term")
         )
         catalog.write_table(ts, paths.term_stats, partition_by=("pbucket",))
-        import pyarrow.dataset as pads
-
-        n_terms = pads.dataset(paths.term_stats, partitioning="hive").count_rows()
-        man.commit_stage("term_stats", fp, [{"partition_id": 0}], {"n_terms": n_terms})
+        tmetrics = _file_metrics(spark, paths.term_stats)
+        man.commit_stage(
+            "term_stats", fp, [{"partition_id": 0}],
+            {"n_terms": sum(m["num_rows"] for m in tmetrics),
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
     _maybe_fail("term_stats")
 
     # ── Stage E: compressed posting blocks (single shuffle, broadcast hot) ──
     if not man.stage_complete("postings", fp, paths.postings):
+        t0 = time.monotonic()
         stats = catalog.read_table(spark, paths.corpus_stats).collect()[0]
         avgdl = float(stats["avgdl"])
         # Zipf head only: terms above the split threshold get rb salting
@@ -524,7 +563,9 @@ def build_index(
             )
         finally:
             spark.conf.set(batch_key, old_batch)
-        per_bucket = _postings_bucket_metrics(paths.postings)
+        per_bucket = _bucket_rows(
+            _file_metrics(spark, paths.postings, sum_col="n_postings")
+        )
         man.commit_stage(
             "postings",
             fp,
@@ -532,6 +573,7 @@ def build_index(
             {
                 "postings_emitted": sum(r["postings_emitted"] for r in per_bucket),
                 "bytes_compressed": sum(r["bytes_compressed"] for r in per_bucket),
+                "wall_s": round(time.monotonic() - t0, 3),
             },
         )
     _maybe_fail("postings")

@@ -29,15 +29,12 @@ import tempfile
 
 def corpus_fingerprint(corpus_path: str, conf: dict | None = None) -> str:
     """Deterministic fingerprint of a parquet dataset + build config:
-    sha256 over sorted (relative file name, size) pairs and the config."""
-    entries = []
-    for root, _dirs, files in os.walk(corpus_path):
-        for f in sorted(files):
-            if f.startswith(("_", ".")):
-                continue
-            p = os.path.join(root, f)
-            entries.append((os.path.relpath(p, corpus_path), os.path.getsize(p)))
-    entries.sort()
+    sha256 over sorted (relative file name, size) pairs and the config.
+    The listing goes through the catalog abstraction (catalog.py) so only
+    that one primitive changes per storage/format."""
+    from horus_ner_spark import catalog
+
+    entries = [list(e) for e in catalog.list_data_files(corpus_path)]
     h = hashlib.sha256()
     h.update(json.dumps(entries, sort_keys=True).encode())
     h.update(json.dumps(conf or {}, sort_keys=True).encode())
@@ -113,6 +110,7 @@ class Manifest:
                         "docs_tokenized": int(part.get("docs_tokenized", 0)),
                         "postings_emitted": int(part.get("postings_emitted", 0)),
                         "bytes_compressed": int(part.get("bytes_compressed", 0)),
+                        "wall_s": float(rec.get("totals", {}).get("wall_s", 0.0)),
                         "status": rec["status"],
                     }
                 )
@@ -124,6 +122,6 @@ def load_manifest_df(spark, index_dir: str):
     schema = (
         "stage string, partition_id int, input_fingerprint string, "
         "docs_tokenized long, postings_emitted long, bytes_compressed long, "
-        "status string"
+        "wall_s double, status string"
     )
     return spark.createDataFrame(rows, schema=schema)

@@ -105,6 +105,7 @@ def merge_indexes(
     """Merge N built index segments into a canonical combined index."""
     from horus_ner_spark.session import ensure_package_on_executors
 
+    catalog.require_path_refs("merge_indexes")  # segment refs are paths
     ensure_package_on_executors(spark)  # reblock kernel unpickles on workers
     out = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)

@@ -53,6 +53,9 @@ class IndexServer:
 
     def __init__(self, index_dir: str, n_pbuckets: int = N_PBUCKETS,
                  cache_terms: int = 4096) -> None:
+        from horus_ner_spark import catalog
+
+        catalog.require_path_refs("IndexServer")  # pyarrow path reads
         paths = IndexPaths(index_dir)
         stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
         self.n_docs = int(stats["n_docs"])
@@ -65,14 +68,19 @@ class IndexServer:
 
     def _load_terms(self, terms: list[str]) -> dict[str, tuple[int, pd.DataFrame]]:
         """term -> (df, blocks) for every term present in the index,
-        via LRU cache + bucket/row-group-pruned reads for misses."""
+        via LRU cache + bucket/row-group-pruned reads for misses.
+
+        Out-of-vocabulary terms are cached too (df=0 sentinel): without the
+        negative entry, every query containing an OOV term would re-read its
+        whole term_stats/postings bucket from storage (round-1 review)."""
         out: dict[str, tuple[int, pd.DataFrame]] = {}
         misses: list[str] = []
         for t in terms:
             hit = self._cache.get(t)
             if hit is not None:
                 self._cache.move_to_end(t)
-                out[t] = hit
+                if hit[0] > 0:  # df=0 sentinel marks a confirmed-absent term
+                    out[t] = hit
             else:
                 misses.append(t)
         if misses:
@@ -86,10 +94,11 @@ class IndexServer:
             }
             blocks = self._postings.to_table(columns=_BLOCK_COLS, filter=flt).to_pandas()
             for t in misses:
-                if t not in dfs:
-                    continue  # not in index
-                entry = (dfs[t], blocks[blocks["term"] == t])
-                out[t] = entry
+                if t in dfs:
+                    entry = (dfs[t], blocks[blocks["term"] == t])
+                    out[t] = entry
+                else:  # negative entry: absent terms are served from the LRU
+                    entry = (0, blocks.iloc[0:0])
                 self._cache[t] = entry
                 if len(self._cache) > self._cache_terms:
                     self._cache.popitem(last=False)
