@@ -484,7 +484,8 @@ def build_index(
         avgdl = float(total_len) / n_docs if n_docs else 0.0
         catalog.write_table(
             spark.createDataFrame(
-                [(n_docs, avgdl)], "n_docs long, avgdl double"
+                [(n_docs, int(total_len), avgdl)],
+                "n_docs long, total_len long, avgdl double",
             ).coalesce(1),
             paths.corpus_stats,
         )

@@ -131,7 +131,8 @@ def merge_indexes(
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     catalog.write_table(
         spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
+            [(n_docs, int(total_len), avgdl)],
+            "n_docs long, total_len long, avgdl double",
         ).coalesce(1),
         out.corpus_stats,
     )

@@ -417,3 +417,99 @@ def bm25_wand(
         .applyInPandas(run_query, RESULT_SCHEMA)
         .orderBy("query_id", "rank")
     )
+
+
+def _segment_global_stats(
+    spark: SparkSession, segments: list[IndexPaths], terms: list[str],
+    buckets: list[int],
+) -> tuple[int, float, dict[str, int]]:
+    """Corpus-level (n_docs, avgdl, per-term df) across disjoint segments:
+    sums of per-segment stats (docs live in exactly one segment)."""
+    n_docs = 0
+    total_len = 0
+    for seg in segments:
+        row = spark.read.parquet(seg.corpus_stats).collect()[0]
+        n_docs += int(row["n_docs"])
+        # exact integer token total, so the summed-global avgdl is
+        # bit-identical to the fully-merged index's avgdl
+        total_len += int(row["total_len"])
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    ts = None
+    for seg in segments:
+        t = (
+            spark.read.parquet(seg.term_stats)
+            .filter(F.col("pbucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+        )
+        ts = t if ts is None else ts.unionByName(t)
+    term_df = {
+        r["term"]: int(r["df"])
+        for r in ts.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    return n_docs, avgdl, term_df
+
+
+def bm25_wand_segments(
+    spark: SparkSession,
+    segments: list[IndexPaths],
+    queries: list[dict],
+    n_pbuckets: int = N_PBUCKETS,
+) -> DataFrame:
+    """Top-k over a MULTI-SEGMENT index (the log-structured serving layout
+    of streaming/incremental.py) — rank-identical to querying the fully
+    merged index.
+
+    Execution is per-(query, segment): each segment's postings are scored
+    independently with GLOBAL corpus stats (summed n_docs/avgdl/df), so a
+    doc's full score is computed inside its home segment; the per-segment
+    top-k lists then merge with a JVM-side window (global top-k is a subset
+    of the union of per-segment top-k's).  This is also the engine's
+    single-query parallelism path: one query over S segments runs as S
+    independent kernel tasks plus a tiny merge, instead of one task."""
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    if not segments:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qt_rows = _query_terms(queries)
+    ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    if not qt_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    terms = sorted({r["term"] for r in qt_rows})
+    buckets = sorted({term_bucket(t, n_pbuckets) for t in terms})
+    n_docs, avgdl, term_df = _segment_global_stats(spark, segments, terms, buckets)
+
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    blocks = None
+    for i, seg in enumerate(segments):
+        b = (
+            spark.read.parquet(seg.postings)
+            .filter(F.col("pbucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .join(F.broadcast(qt), "term")
+            .withColumn("seg", F.lit(i))
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+
+    def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        term_blocks = {t: g for t, g in pdf.groupby("term")}
+        rows = _score_one_query(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        return pd.DataFrame(
+            [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
+            columns=["query_id", "rank", "doc_id", "score"],
+        ).astype({"query_id": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"})
+
+    partial = blocks.groupBy("query_id", "seg").applyInPandas(run_partial, RESULT_SCHEMA)
+    ksdf = spark.createDataFrame(
+        [(qid, k) for qid, k in ks.items()], "query_id int, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ksdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )

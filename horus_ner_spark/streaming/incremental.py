@@ -7,12 +7,19 @@ Both map naturally onto Structured Streaming:
 
 1. ``incremental_index_stream`` — a file-source stream over a corpus
    landing directory; each micro-batch is SPIMI-built into a segment index
-   (build.py) and sort-merged into the serving index (merge.py) inside
-   ``foreachBatch``.  Exactly-once comes from the pairing of the stream
-   checkpoint (source offsets) with the build manifest (segment
-   fingerprints): a replayed batch re-enters build_index, which no-ops on
-   its manifest and re-merges idempotently (merge is canonical-form, see
-   merge.py docstring).
+   (build.py) inside ``foreachBatch``, and segments are maintained as a
+   LOG-STRUCTURED TIER SET (Lucene-style merge policy): when ``fanout``
+   same-level units accumulate they compact into one unit a level up.
+   Round 1 re-merged ALL segments into one canonical index every
+   micro-batch — O(stream-length²) postings re-encoded over the stream's
+   life; tiering bounds that at O(total · log_fanout(batches)) while
+   keeping the live unit count at O(fanout · log), served by query-time
+   merge (query.bm25_wand_segments — rank-identical to the merged index,
+   tested).  Exactly-once comes from the stream checkpoint (source
+   offsets) + the build manifest (segment fingerprints) + deterministic
+   compaction outputs (tier names are a hash of their input set, so a
+   replayed compaction is a skip, and absorbed inputs stay recorded in the
+   tier's ``inputs.json``).
 2. ``windowed_event_counts`` — watermarked tumbling-window aggregation
    (the standard late-data pattern) over the events stream shape.
 
@@ -22,6 +29,8 @@ continuous job on a real cluster.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,18 +38,103 @@ from pyspark.sql import functions as F
 
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
+DEFAULT_FANOUT = 4
+_TIER_DIR = "tiers"
+
+
+def _tier_level(name: str) -> int:
+    return int(name.split("_", 1)[0][1:])  # "L2_ab34cd" -> 2
+
+
+def _unit_key(path: str, index_root: str) -> str:
+    return os.path.relpath(path, index_root)
+
+
+def active_units(index_root: str) -> list[tuple[int, str]]:
+    """(level, index_path) of every live unit: level-0 segment indexes plus
+    compacted tiers, minus any unit recorded as absorbed by a tier's
+    ``inputs.json`` — the crash-safe source of truth for what serves."""
+    absorbed: set[str] = set()
+    tiers: list[tuple[int, str]] = []
+    tdir = os.path.join(index_root, _TIER_DIR)
+    if os.path.isdir(tdir):
+        for name in sorted(os.listdir(tdir)):
+            meta = os.path.join(tdir, name, "inputs.json")
+            if not os.path.exists(meta):
+                continue  # incomplete compaction output — ignored, redone
+            with open(meta) as f:
+                absorbed.update(json.load(f)["inputs"])
+            tiers.append((_tier_level(name), os.path.join(tdir, name)))
+    segs = [
+        (0, os.path.join(index_root, d, "ix"))
+        for d in sorted(os.listdir(index_root))
+        if d.startswith("seg_")
+        # a unit is live only once fully built (postings is the last stage)
+        and os.path.exists(
+            os.path.join(index_root, d, "ix", "postings.parquet", "_SUCCESS")
+        )
+    ]
+    return [
+        (lvl, p)
+        for lvl, p in segs + tiers
+        if _unit_key(p, index_root) not in absorbed
+    ]
+
+
+def compact_tiers(
+    spark: SparkSession, index_root: str, fanout: int = DEFAULT_FANOUT
+) -> int:
+    """Merge policy: while any level holds >= ``fanout`` live units, merge
+    the ``fanout`` oldest into one unit a level up.  Returns the number of
+    merges performed.  Deterministic + idempotent: the output tier name is
+    a hash of its input keys, inputs are recorded in the output's
+    ``inputs.json`` (written last, atomically), and absorbed units are left
+    on disk for replay safety (a retention job can delete units whose key
+    appears in some inputs.json once the checkpoint passes them)."""
+    from horus_ner_spark.index.build import IndexPaths
+    from horus_ner_spark.index.merge import merge_indexes
+
+    n_merges = 0
+    while True:
+        by_level: dict[int, list[str]] = {}
+        for lvl, p in active_units(index_root):
+            by_level.setdefault(lvl, []).append(p)
+        todo = [
+            (lvl, sorted(paths)[:fanout])
+            for lvl, paths in sorted(by_level.items())
+            if len(paths) >= fanout
+        ]
+        if not todo:
+            return n_merges
+        lvl, inputs = todo[0]
+        keys = [_unit_key(p, index_root) for p in inputs]
+        name = f"L{lvl + 1}_" + hashlib.sha256(
+            json.dumps(keys, sort_keys=True).encode()
+        ).hexdigest()[:10]
+        out_dir = os.path.join(index_root, _TIER_DIR, name)
+        meta = os.path.join(out_dir, "inputs.json")
+        if not os.path.exists(meta):  # replayed compaction -> skip merge
+            merge_indexes(spark, [IndexPaths(p) for p in inputs], out_dir)
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"inputs": keys, "level": lvl + 1}, f)
+            os.replace(tmp, meta)
+        n_merges += 1
+
 
 def incremental_index_stream(
     spark: SparkSession,
     landing_dir: str,
     index_root: str,
     checkpoint_dir: str,
+    fanout: int = DEFAULT_FANOUT,
 ):
     """Start an availableNow stream: new corpus parquet files under
-    ``landing_dir`` are built into per-batch segment indexes and merged
-    into ``<index_root>/current``.  Returns the StreamingQuery."""
-    from horus_ner_spark.index.build import IndexPaths, build_index
-    from horus_ner_spark.index.merge import merge_indexes
+    ``landing_dir`` are built into per-batch segment indexes; the tier set
+    is compacted per the merge policy.  Query the live index with
+    ``query.bm25_wand_segments(spark, segment_paths(index_root), ...)``.
+    Returns the StreamingQuery."""
+    from horus_ner_spark.index.build import build_index
 
     os.makedirs(index_root, exist_ok=True)
 
@@ -50,14 +144,7 @@ def incremental_index_stream(
         if not os.path.exists(os.path.join(seg_corpus, "_SUCCESS")):
             batch_df.write.mode("overwrite").parquet(seg_corpus)
         build_index(spark, seg_corpus, os.path.join(seg_root, "ix"))
-        segments = sorted(
-            d for d in os.listdir(index_root) if d.startswith("seg_")
-        )
-        merge_indexes(
-            spark,
-            [IndexPaths(os.path.join(index_root, d, "ix")) for d in segments],
-            os.path.join(index_root, "current"),
-        )
+        compact_tiers(spark, index_root, fanout)
 
     return (
         spark.readStream.schema(CORPUS_SCHEMA)
@@ -67,6 +154,13 @@ def incremental_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def segment_paths(index_root: str):
+    """Live units as IndexPaths, for query.bm25_wand_segments."""
+    from horus_ner_spark.index.build import IndexPaths
+
+    return [IndexPaths(p) for _lvl, p in active_units(index_root)]
 
 
 def windowed_event_counts(

@@ -1,27 +1,38 @@
-"""Streaming surfaces: incremental index maintenance equals the single-shot
-build (exactly-once across restarts via checkpoint + manifest + canonical
-merge), and the watermarked window agg equals its batch form."""
+"""Streaming surfaces: the log-structured tiered segment index equals the
+single-shot build (exactly-once across restarts via checkpoint + manifest +
+deterministic compaction), compaction does bounded work, and the
+watermarked window agg equals its batch form."""
 
 import os
 import shutil
 
-import pandas as pd
-
 from horus_ner_spark.corpus import gen_corpus_pandas, query_set
 from horus_ner_spark.index.build import IndexPaths, build_index
-from horus_ner_spark.index.query import bm25_wand
+from horus_ner_spark.index.query import bm25_wand, bm25_wand_segments
+from horus_ner_spark.streaming import incremental
 from horus_ner_spark.streaming.incremental import (
+    active_units,
     incremental_index_stream,
+    segment_paths,
     windowed_event_counts,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _results(spark, paths):
+def _merged_results(spark, paths):
     return sorted(
         (r["query_id"], r["rank"], r["doc_id"], r["score"])
         for r in bm25_wand(spark, paths, query_set()).collect()
+    )
+
+
+def _segment_results(spark, ix_root):
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_wand_segments(
+            spark, segment_paths(ix_root), query_set()
+        ).collect()
     )
 
 
@@ -32,7 +43,7 @@ def test_incremental_stream_equals_single_shot(spark, tmp_path):
     ix_root = str(tmp_path / "stream_ix")
     cp = str(tmp_path / "cp")
 
-    # drop 1 -> one micro-batch -> segment 0 + merged current
+    # drop 1 -> one micro-batch -> segment 0
     corpus.iloc[:180].to_parquet(landing / "drop1.parquet", index=False)
     q1 = incremental_index_stream(spark, str(landing), ix_root, cp)
     q1.awaitTermination(300)
@@ -45,14 +56,62 @@ def test_incremental_stream_equals_single_shot(spark, tmp_path):
     assert q2.exception() is None, q2.exception()
     segs = [d for d in os.listdir(ix_root) if d.startswith("seg_")]
     assert len(segs) == 2, segs
+    assert len(active_units(ix_root)) == 2  # below fanout: no compaction
 
     # single-shot reference build over the same 300 docs
     full_corpus = str(tmp_path / "full/corpus.parquet")
     spark.createDataFrame(corpus).write.parquet(full_corpus)
     full = build_index(spark, full_corpus, str(tmp_path / "full/ix"))
 
-    current = IndexPaths(os.path.join(ix_root, "current"))
-    assert _results(spark, current) == _results(spark, full)
+    # query-time segment merge is rank-identical to the merged index
+    assert _segment_results(spark, ix_root) == _merged_results(spark, full)
+
+
+def test_tiered_compaction_bounds_merge_work(spark, tmp_path, monkeypatch):
+    """fanout=2, 4 drops: compaction must run exactly 3 bounded merges
+    (s0+s1 -> T1; s2+s3 -> T1'; T1+T1' -> T2) — each with exactly `fanout`
+    inputs — instead of re-merging every segment per batch (round-1
+    behavior: 2+3+4 segment re-encodes).  The final tier set collapses to
+    one unit and still answers rank-identically to a single-shot build."""
+    from horus_ner_spark.index import merge as merge_mod
+
+    calls = []
+    real_merge = merge_mod.merge_indexes
+
+    def counting_merge(spark_, segments, out_dir, **kw):
+        calls.append(len(segments))
+        return real_merge(spark_, segments, out_dir, **kw)
+
+    monkeypatch.setattr(
+        "horus_ner_spark.index.merge.merge_indexes", counting_merge
+    )
+
+    corpus = gen_corpus_pandas(sf=0.001).iloc[:200]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ix_root = str(tmp_path / "stream_ix")
+    cp = str(tmp_path / "cp")
+    for i in range(4):
+        corpus.iloc[i * 50 : (i + 1) * 50].to_parquet(
+            landing / f"drop{i}.parquet", index=False
+        )
+        q = incremental_index_stream(spark, str(landing), ix_root, cp, fanout=2)
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    assert calls == [2, 2, 2], calls  # 3 merges, each exactly fanout inputs
+    assert len(active_units(ix_root)) == 1
+    (lvl, _p) = active_units(ix_root)[0]
+    assert lvl == 2
+
+    # replayed compaction is a skip (deterministic tier names)
+    n = incremental.compact_tiers(spark, ix_root, fanout=2)
+    assert n == 0 and calls == [2, 2, 2]
+
+    full_corpus = str(tmp_path / "full/corpus.parquet")
+    spark.createDataFrame(corpus).write.parquet(full_corpus)
+    full = build_index(spark, full_corpus, str(tmp_path / "full/ix"))
+    assert _segment_results(spark, ix_root) == _merged_results(spark, full)
 
 
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
