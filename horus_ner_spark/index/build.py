@@ -72,16 +72,22 @@ RANGE_BITS = 6         # hot-term split: 2^6 = 64 doc_id-range groups per term
 N_PBUCKETS = 32        # term-hash partitions of the postings table
 SPLIT_THRESHOLD = 8192  # df above which a term is salted across rb groups
 
-# Blocks are self-contained for scoring: doc_ids (delta-gap), tfs, and
-# doclens all ride in the block, so the WAND kernel needs no per-doc side
-# table — at 10^12 docs a broadcast doclen array would not fit an executor.
+# Blocks are self-contained for scoring: doc_ids (delta-gap), tfs, doclens,
+# and token positions all ride in the block, so the WAND/phrase kernels need
+# no per-doc side table — at 10^12 docs a broadcast doclen array would not
+# fit an executor.  ``rb`` is the hot-term range-bucket (0 for cold terms);
+# block_id is the block's index WITHIN its (term, rb) group, so ids are
+# canonical regardless of how Arrow batches or partitions split the input
+# (layout v4; v3 chained ids across rb groups, which hash partitioning
+# cannot guarantee).  ``pos_vb`` is the per-posting position stream
+# (codec.py) powering phrase queries.
 POSTINGS_SCHEMA = (
-    "term string, block_id int, min_doc_id long, max_doc_id long, "
+    "term string, rb int, block_id int, min_doc_id long, max_doc_id long, "
     "n_postings int, block_max_tfnorm double, doc_ids_vb binary, tfs_vb binary, "
-    "doclens_vb binary"
+    "doclens_vb binary, pos_vb binary"
 )
 
-TF_SCHEMA = "doc_id long, term string, tf long, doclen long"
+TF_SCHEMA = "doc_id long, term string, tf long, doclen long, pos_vb binary"
 
 
 @dataclass(frozen=True)
@@ -125,49 +131,55 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
 
 def encode_run(
     term: str,
+    rb: int,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doclens: np.ndarray,
+    pos_buf,
+    pos_offsets: np.ndarray,
     avgdl: float,
     block_size: int,
-    rb_base: int = 0,
 ) -> list[dict]:
-    """Encode one term's doc_id-sorted posting run into block rows.
+    """Encode one (term, rb) doc_id-sorted posting run into block rows.
 
     Shared by the build kernel and the merge re-blocker so chunk boundaries
-    are canonical by construction.  ``rb_base`` offsets block_id numbering
-    for hot-term rb groups (build) — ids only need uniqueness per term.
+    are canonical by construction.  ``pos_buf``/``pos_offsets`` address the
+    run's per-posting position sub-streams (already encoded — codec.py); a
+    block's pos_vb is the contiguous byte slice covering its postings, so
+    no position ever re-encodes here.
     """
     from horus_ner_spark.index.codec import encode_block, vb_encode
 
     tfnorms = tfs * (bm25.K1 + 1.0) / (
         tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
     )
+    view = memoryview(pos_buf)
     rows = []
     for start in range(0, len(doc_ids), block_size):
-        d = doc_ids[start : start + block_size]
-        dvb, tvb = encode_block(d, tfs[start : start + block_size])
+        end = min(start + block_size, len(doc_ids))
+        d = doc_ids[start:end]
+        dvb, tvb = encode_block(d, tfs[start:end])
         rows.append(
             {
                 "term": term,
-                "block_id": rb_base + start // block_size,
+                "rb": int(rb),
+                "block_id": start // block_size,
                 "min_doc_id": int(d[0]),
                 "max_doc_id": int(d[-1]),
                 "n_postings": len(d),
-                "block_max_tfnorm": float(tfnorms[start : start + block_size].max()),
+                "block_max_tfnorm": float(tfnorms[start:end].max()),
                 "doc_ids_vb": dvb,
                 "tfs_vb": tvb,
-                "doclens_vb": vb_encode(
-                    doclens[start : start + block_size].astype(np.uint64)
-                ),
+                "doclens_vb": vb_encode(doclens[start:end].astype(np.uint64)),
+                "pos_vb": bytes(view[pos_offsets[start] : pos_offsets[end]]),
             }
         )
     return rows
 
 
 _BLOCK_COLS = [
-    "term", "block_id", "min_doc_id", "max_doc_id", "n_postings",
-    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+    "term", "rb", "block_id", "min_doc_id", "max_doc_id", "n_postings",
+    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb", "pos_vb",
 ]
 
 
@@ -229,6 +241,13 @@ def _encode_arrow_factory(avgdl: float, block_size: int):
     return encode_partition
 
 
+def _binary_buffers(arr):
+    """(data buffer, absolute int64 offsets) of an Arrow binary array —
+    per-row byte slices without materializing per-row Python bytes."""
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32).astype(np.int64)
+    return arr.buffers()[2], off[arr.offset : arr.offset + len(arr) + 1]
+
+
 def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int):
     """Encode complete (term, rb) groups of an Arrow table slice into one
     output RecordBatch.  ``change`` holds group-start offsets (excluding 0)
@@ -238,23 +257,23 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
     doc_ids = tbl.column("doc_id").to_numpy()[:n_rows]
     tfs = tbl.column("tf").to_numpy()[:n_rows]
     doclens = tbl.column("doclen").to_numpy()[:n_rows]
+    rbs = tbl.column("rb").to_numpy()[:n_rows]
+    pos_buf, pos_off = _binary_buffers(tbl.column("pos_vb").combine_chunks())
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [n_rows]))
     rows: list[dict] = []
-    prev_term = None
     for s, e in zip(starts, ends):
         term = terms[int(s)].as_py()  # ONE python string per group
-        rb_base = rows[-1]["block_id"] + 1 if term == prev_term else 0
         rows.extend(
-            encode_run(term, doc_ids[s:e], tfs[s:e], doclens[s:e],
-                       avgdl, block_size, rb_base)
+            encode_run(term, int(rbs[s]), doc_ids[s:e], tfs[s:e], doclens[s:e],
+                       pos_buf, pos_off[s : e + 1], avgdl, block_size)
         )
-        prev_term = term
     return pa.RecordBatch.from_pydict(
         {c: [r[c] for r in rows] for c in _BLOCK_COLS},
         schema=pa.schema(
             [
                 ("term", pa.string()),
+                ("rb", pa.int32()),
                 ("block_id", pa.int32()),
                 ("min_doc_id", pa.int64()),
                 ("max_doc_id", pa.int64()),
@@ -263,6 +282,7 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
                 ("doc_ids_vb", pa.binary()),
                 ("tfs_vb", pa.binary()),
                 ("doclens_vb", pa.binary()),
+                ("pos_vb", pa.binary()),
             ]
         ),
     )
@@ -270,32 +290,65 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
 
 def _tokenize_tf_batches(batches):
     """mapInPandas kernel: (doc_id, lang, content) -> (doc_id, term, tf,
-    doclen) — tokenization, per-doc tf, and doclen in ONE pass with no
-    shuffle (tf is a per-document-local aggregate).
+    doclen, pos_vb) — tokenization, per-doc tf/doclen, AND per-(doc, term)
+    position streams in ONE pass with no shuffle (all per-document-local).
 
-    Output rows are assembled with C-level list extends + np.repeat, never
-    per-posting Python appends: at ~150 postings/doc the row assembly would
-    otherwise cost more than tokenization itself."""
-    from horus_ner_spark.functions.tokenizer import tokenize_tf
+    Position handling is batch-vectorized: the batch's tokens factorize to
+    int codes once, one lexsort groups (doc, term) runs, the position
+    delta-gaps for the WHOLE batch varbyte-encode in a single codec call,
+    and per-row sub-streams are memoryview slices — never a per-token
+    Python loop beyond the tokenizer itself."""
+    from horus_ner_spark.functions.tokenizer import tokenize
+    from horus_ner_spark.index.codec import vb_encode
 
     for pdf in batches:
-        terms: list[str] = []
-        tfs: list[int] = []
-        n_rows: list[int] = []
-        doclens: list[int] = []
-        for lang, content in zip(pdf["lang"], pdf["content"]):
-            c = tokenize_tf(content, lang)
-            terms.extend(c.keys())
-            tfs.extend(c.values())
-            n_rows.append(len(c))
-            doclens.append(sum(c.values()))
-        rep = np.asarray(n_rows, dtype=np.int64)
+        toks_per_doc = [
+            tokenize(content, lang)
+            for lang, content in zip(pdf["lang"], pdf["content"])
+        ]
+        doc_lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        all_toks = [t for toks in toks_per_doc for t in toks]
+        if not all_toks:
+            yield pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "term": [],
+                 "tf": np.empty(0, np.int64), "doclen": np.empty(0, np.int64),
+                 "pos_vb": []}
+            )
+            continue
+        codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+        tok_doc = np.repeat(np.arange(len(doc_lens)), doc_lens)
+        doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+        tok_pos = np.arange(len(codes)) - np.repeat(doc_starts, doc_lens)
+        order = np.lexsort((tok_pos, codes, tok_doc))
+        sdoc, scode, spos = tok_doc[order], codes[order], tok_pos[order]
+        # (doc, term) run boundaries
+        change = np.flatnonzero((sdoc[1:] != sdoc[:-1]) | (scode[1:] != scode[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        run_lens = np.diff(np.concatenate((starts, [len(scode)])))
+        # gap-encode positions: run-first absolute, others (gap - 1)
+        gaps = np.empty(len(spos), dtype=np.uint64)
+        gaps[starts] = spos[starts]
+        mask = np.ones(len(spos), dtype=bool)
+        mask[starts] = False
+        gaps[mask] = (spos[1:] - spos[:-1] - 1)[mask[1:]]
+        stream = vb_encode(gaps)  # ONE call for the whole batch
+        # per-value byte ends -> per-run byte offsets
+        sarr = np.frombuffer(stream, dtype=np.uint8)
+        vends = np.flatnonzero(sarr < 0x80) + 1
+        run_bounds = np.cumsum(run_lens)
+        run_off = np.concatenate(([0], vends[run_bounds - 1]))
+        view = memoryview(stream)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
         yield pd.DataFrame(
             {
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), rep),
-                "term": terms,
-                "tf": np.asarray(tfs, dtype=np.int64),
-                "doclen": np.repeat(np.asarray(doclens, dtype=np.int64), rep),
+                "doc_id": doc_ids[sdoc[starts]],
+                "term": uniq[scode[starts]],
+                "tf": run_lens,
+                "doclen": doc_lens[sdoc[starts]],
+                "pos_vb": [
+                    bytes(view[run_off[i] : run_off[i + 1]])
+                    for i in range(len(starts))
+                ],
             }
         )
 
@@ -411,7 +464,10 @@ def build_index(
         "n_pbuckets": n_pbuckets,
         "split_threshold": split_threshold,
         "tokenizer": "code-aware-v1",
-        "layout": "v3",  # hot-only rb salting; canonical per-term block_ids
+        # v4: positional postings (pos_vb) + rb column with per-(term, rb)
+        # canonical block_ids (v3 chained ids across rb groups, which hash
+        # partitioning cannot guarantee)
+        "layout": "v4-positional",
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)
@@ -539,7 +595,7 @@ def build_index(
                     F.col("is_hot"), F.shiftright("doc_id", 64 - range_bits)
                 ).otherwise(F.lit(0)),
             )
-            .select("term", "rb", "doc_id", "tf", "doclen")
+            .select("term", "rb", "doc_id", "tf", "doclen", "pos_vb")
         )
         encode = _encode_arrow_factory(avgdl, block_size)
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -98,3 +98,54 @@ def decode_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndar
     doc_ids = (u ^ _SIGN_FLIP).view(np.int64)
     tfs = vb_decode(tf_bytes).view(np.int64)
     return doc_ids, tfs
+
+
+# ─────────────────────────── position streams ───────────────────────────
+# A posting's positions (strictly increasing token indexes within its doc)
+# are encoded like a doc_id run: first value absolute, then (gap - 1),
+# varbyte.  A BLOCK's pos stream is the byte-concatenation of its postings'
+# streams in posting order — each posting's sub-stream is self-contained,
+# so merge re-blocking moves byte slices verbatim (no re-encode), and
+# decode splits the stream with the block's tf counts.
+
+
+def encode_positions(positions: np.ndarray) -> bytes:
+    """Encode ONE posting's strictly-increasing position list."""
+    p = np.ascontiguousarray(positions, dtype=np.uint64)
+    gaps = np.empty(len(p), dtype=np.uint64)
+    if len(p):
+        gaps[0] = p[0]
+        gaps[1:] = p[1:] - p[:-1] - np.uint64(1)
+    return vb_encode(gaps)
+
+
+def pos_slice_offsets(data: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Byte offsets (len == n_postings + 1) splitting a block's pos stream
+    into its per-posting sub-streams — value boundaries are bytes with the
+    continuation bit clear, posting i spans tfs[i] values."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ends = np.flatnonzero(arr < 0x80) + 1  # byte offset after each value
+    bounds = np.cumsum(np.asarray(tfs, dtype=np.int64))
+    out = np.zeros(len(bounds) + 1, dtype=np.int64)
+    out[1:] = ends[bounds - 1] if len(ends) else 0
+    return out
+
+
+def decode_positions(data: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's pos stream -> (absolute positions int64, posting
+    start offsets int64 of len n_postings + 1): posting i's positions are
+    ``values[starts[i]:starts[i+1]]``."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts[1:])
+    vals = vb_decode(data).astype(np.int64)
+    if len(vals) == 0:
+        return vals, starts
+    is_first = np.zeros(len(vals), dtype=bool)
+    is_first[starts[:-1][tfs > 0]] = True
+    vals[~is_first] += 1
+    # per-posting cumulative sum: global cumsum minus the carry-in at each
+    # posting start, vectorized
+    csum = np.cumsum(vals)
+    carry = np.repeat(csum[starts[:-1]] - vals[starts[:-1]], tfs)
+    return csum - carry, starts

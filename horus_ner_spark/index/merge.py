@@ -56,38 +56,50 @@ def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
     df == posting count by definition, so no term_stats join is needed."""
 
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
+        from horus_ner_spark.index.codec import pos_slice_offsets
+
         term = pdf["term"].iloc[0]
-        docs_l, tfs_l, dls_l = [], [], []
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
         for _, row in pdf.iterrows():
             d, t = decode_block(bytes(row["doc_ids_vb"]), bytes(row["tfs_vb"]))
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(vb_decode(bytes(row["doclens_vb"])).view(np.int64))
+            # positions move as verbatim per-posting byte slices — the
+            # sub-streams are self-contained (codec.py), so merge never
+            # re-encodes a position
+            pvb = bytes(row["pos_vb"])
+            off = pos_slice_offsets(pvb, t)
+            pos_l.extend(pvb[off[i] : off[i + 1]] for i in range(len(t)))
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
+        pos = np.empty(len(docs), dtype=object)
+        pos[:] = pos_l
         order = np.argsort(docs, kind="mergesort")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        docs, tfs, dls, pos = docs[order], tfs[order], dls[order], pos[order]
         if len(docs) > 1:  # dedupe identical doc_ids (overlapping segments)
             keep = np.empty(len(docs), dtype=bool)
             keep[0] = True
             keep[1:] = docs[1:] != docs[:-1]
-            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            docs, tfs, dls, pos = docs[keep], tfs[keep], dls[keep], pos[keep]
+        pos_buf = b"".join(pos)
+        pos_off = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in pos], out=pos_off[1:])
         rows: list[dict] = []
         if len(docs) > split_threshold:  # hot: chunk within each rb range
             rbs = docs >> np.int64(64 - range_bits)
             change = np.flatnonzero(rbs[1:] != rbs[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(docs)]))
-            base = 0
             for s, e in zip(starts, ends):
                 rows.extend(
-                    encode_run(term, docs[s:e], tfs[s:e], dls[s:e],
-                               avgdl, block_size, base)
+                    encode_run(term, int(rbs[s]), docs[s:e], tfs[s:e], dls[s:e],
+                               pos_buf, pos_off[s : e + 1], avgdl, block_size)
                 )
-                base = rows[-1]["block_id"] + 1
         else:
-            rows = encode_run(term, docs, tfs, dls, avgdl, block_size)
+            rows = encode_run(term, 0, docs, tfs, dls, pos_buf, pos_off,
+                              avgdl, block_size)
         return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return reblock

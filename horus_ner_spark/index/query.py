@@ -36,7 +36,7 @@ from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import IndexPaths, N_PBUCKETS
-from horus_ner_spark.index.codec import vb_decode, decode_block
+from horus_ner_spark.index.codec import decode_block, decode_positions, vb_decode
 
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
@@ -263,6 +263,66 @@ def _exhaustive_one_query(
     return [(r + 1, int(uniq[i]), float(q[i])) for r, i in enumerate(top)]
 
 
+def _phrase_one_query(
+    term_blocks: dict[str, pd.DataFrame],
+    term_df: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+    phrase: list[str],
+) -> list[tuple[int, int, float]]:
+    """Exact-phrase top-k over the positional postings: documents containing
+    the query's token sequence CONTIGUOUSLY (position adjacency), scored by
+    BM25 over the phrase's distinct terms and ranked under the shared
+    quantize-then-rank contract.
+
+    Reference motivation: multi-word compounds are the reference's unit of
+    retrieval (src/core/feature_extraction/util.py:154-181 NP chunks are
+    searched as a unit; util.py:623-712 emits compound rows first) — an
+    index without positions cannot answer them."""
+    distinct = sorted(set(phrase))
+    if any(t not in term_blocks or not len(term_blocks[t]) for t in distinct):
+        return []
+    # decode each distinct term fully: doc -> (tf, doclen, positions)
+    per_term: dict[str, dict[int, tuple[int, int, np.ndarray]]] = {}
+    doc_sets: list[set] = []
+    for t in distinct:
+        b = term_blocks[t]
+        m: dict[int, tuple[int, int, np.ndarray]] = {}
+        for dvb, tvb, lvb, pvb in zip(
+            b["doc_ids_vb"], b["tfs_vb"], b["doclens_vb"], b["pos_vb"]
+        ):
+            d, tf = decode_block(bytes(dvb), bytes(tvb))
+            dl = vb_decode(bytes(lvb)).view(np.int64)
+            vals, starts = decode_positions(bytes(pvb), tf)
+            for i in range(len(d)):
+                m[int(d[i])] = (
+                    int(tf[i]), int(dl[i]), vals[starts[i] : starts[i + 1]]
+                )
+        per_term[t] = m
+        doc_sets.append(set(m))
+    candidates = sorted(set.intersection(*doc_sets))
+    idfs = {t: bm25.idf(n_docs, term_df[t]) for t in distinct}
+    scored: list[tuple[float, int]] = []
+    for doc in candidates:
+        # phrase check: a start position p such that term_i sits at p + i
+        anchors = per_term[phrase[0]][doc][2]
+        for i, t in enumerate(phrase[1:], start=1):
+            anchors = anchors[np.isin(anchors + i, per_term[t][doc][2])]
+            if not len(anchors):
+                break
+        if not len(anchors):
+            continue
+        contribs = [
+            idfs[t]
+            * bm25.tf_norm(per_term[t][doc][0], per_term[t][doc][1], avgdl)
+            for t in distinct  # sorted-term order: determinism contract
+        ]
+        scored.append((bm25.quantize(math.fsum(contribs)), doc))
+    scored.sort(key=lambda e: (-e[0], e[1]))
+    return [(r + 1, d, q) for r, (q, d) in enumerate(scored[:k])]
+
+
 def _score_one_query(
     term_blocks: dict[str, pd.DataFrame],
     term_df: dict[str, int],
@@ -366,7 +426,10 @@ def bm25_wand(
     """results(query_id, rank, doc_id, score) over the compressed index via
     hybrid execution (vectorized exhaustive / block-max WAND per query —
     see _score_one_query).  Rank-identical to ``bm25_bruteforce`` (tested).
-    ``force_wand=True`` pins the WAND kernel (kernel-equality tests)."""
+    ``force_wand=True`` pins the WAND kernel (kernel-equality tests).
+
+    Per-query ``mode``: "OR" (default, disjunctive), "AND" (every term must
+    match), "PHRASE" (contiguous token sequence via the positional index)."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
@@ -375,6 +438,12 @@ def bm25_wand(
 
     qt_rows = _query_terms(queries)
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    phrases = {
+        q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
+        for q in queries
+        if q.get("mode", "OR").upper() == "PHRASE"
+    }
     if not qt_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({r["term"] for r in qt_rows})
@@ -405,8 +474,20 @@ def bm25_wand(
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         term_blocks = {t: g for t, g in pdf.groupby("term")}
-        kernel = _wand_one_query if force_wand else _score_one_query
-        rows = kernel(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        mode = modes.get(qid, "OR")
+        if mode == "PHRASE":
+            rows = _phrase_one_query(
+                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+                phrases[qid],
+            )
+        elif mode == "AND":
+            rows = _exhaustive_one_query(
+                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+                require_all=len({r["term"] for r in qt_rows if r["query_id"] == qid}),
+            )
+        else:
+            kernel = _wand_one_query if force_wand else _score_one_query
+            rows = kernel(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
             columns=["query_id", "rank", "doc_id", "score"],

@@ -39,7 +39,7 @@ from horus_ner_spark.index.query import _score_one_query
 
 _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
-    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb", "pos_vb",
 ]
 
 
@@ -110,11 +110,24 @@ class IndexServer:
 
         ``mode="AND"`` requires every query term to match (conjunctive
         semantics; a term absent from the index makes the result empty) —
-        served by the vectorized exhaustive kernel."""
+        served by the vectorized exhaustive kernel.  ``mode="PHRASE"``
+        requires the query's token sequence to appear contiguously
+        (positional index)."""
         terms = sorted(set(tokenize(query_text, lang)))
         loaded = self._load_terms(terms)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
-        if mode.upper() == "AND":
+        if mode.upper() == "PHRASE":
+            if len(loaded) < len(terms):
+                return empty
+            from horus_ner_spark.index.query import _phrase_one_query
+
+            rows = _phrase_one_query(
+                {t: b for t, (_df, b) in loaded.items()},
+                {t: df for t, (df, _b) in loaded.items()},
+                k, self.n_docs, self.avgdl,
+                tokenize(query_text, lang),
+            )
+        elif mode.upper() == "AND":
             if len(loaded) < len(terms):
                 return empty  # some term has no postings at all
             from horus_ner_spark.index.query import _exhaustive_one_query

@@ -68,6 +68,25 @@ def engine_bm25_brute_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_bruteforce(spark, paths, DOC_ENGINE_QUERIES)
 
 
+# Phrase retrieval over the positional index.  Phrase adjacency is defined
+# on the KEPT token sequence (tokens surviving the length/stoplist gate) —
+# exactly what the oracle's normalized-token-string LIKE reproduces.
+PHRASE_QUERIES = [
+    {"query_id": 1, "query_text": "merge join", "lang": "en", "k": 10,
+     "mode": "PHRASE"},
+    {"query_id": 2, "query_text": "table scan", "lang": "en", "k": 10,
+     "mode": "PHRASE"},
+    {"query_id": 3, "query_text": "merge nosuchterm", "lang": "en", "k": 10,
+     "mode": "PHRASE"},  # OOV term -> empty
+]
+
+
+def bm25_phrase_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k via the positional postings (pos_vb streams)."""
+    paths = _doc_index(spark, sf_dir)
+    return bm25_wand(spark, paths, PHRASE_QUERIES)
+
+
 def _tokenize_sql_literal(text: str) -> list[str]:
     """Mirror of the code tokenizer for the fixed (ASCII, known) queries —
     used only to inline query terms into the oracle SQL."""
@@ -123,7 +142,69 @@ FROM ranked WHERE rank <= 10
 
 ENGINE_ORACLE_SQL = _engine_oracle_sql()
 
+
+def _phrase_oracle_sql() -> str:
+    """Phrase top-k in DuckDB: candidate docs via contiguous-token LIKE on
+    the normalized (kept-token) string — tokens cannot contain spaces, so
+    ``' '||join(toks,' ')||' ' LIKE '% merge join %'`` is an exact phrase
+    test — then full BM25 over the phrase's distinct terms, quantized and
+    ranked under the shared contract."""
+    parts = []
+    for q in PHRASE_QUERIES:
+        toks = _tokenize_sql_literal(q["query_text"])  # sorted distinct
+        ordered = [
+            t.lower() for t in q["query_text"].split()
+        ]  # ASCII fixture queries: split == tokenize order
+        phrase = " ".join(ordered)
+        terms = ", ".join(f"'{t}'" for t in toks)
+        parts.append(f"""
+SELECT {q['query_id']} AS query_id, rank, doc_id, score FROM (
+  SELECT doc_id, round(sum(contrib), 6) AS score,
+         row_number() OVER (ORDER BY round(sum(contrib), 6) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT tf.doc_id,
+           ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl)))
+           AS contrib
+    FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), stats
+    WHERE tf.term IN ({terms})
+      AND tf.doc_id IN (SELECT doc_id FROM phrase_docs
+                        WHERE tokstr LIKE '% {phrase} %')
+  ) GROUP BY doc_id
+) WHERE rank <= {q['k']}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) >= 2 AND length(x) <= 64)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(coalesce(sum(doclen), 0) AS DOUBLE)
+                 / (SELECT count(*) FROM documents) FROM dl) AS avgdl
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+phrase_docs AS (
+  SELECT doc_id,
+         ' ' || array_to_string(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) >= 2 AND length(x) <= 64), ' ') || ' '
+         AS tokstr
+  FROM documents
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ({union})
+"""
+
+
+PHRASE_ORACLE_SQL = _phrase_oracle_sql()
+
 ENTRIES: dict[str, tuple] = {
     "engine_bm25_wand_docs": (engine_bm25_wand_docs, ENGINE_ORACLE_SQL),
     "engine_bm25_brute_docs": (engine_bm25_brute_docs, ENGINE_ORACLE_SQL),
+    "bm25_phrase_topk_docs": (bm25_phrase_topk_docs, PHRASE_ORACLE_SQL),
 }

@@ -8,6 +8,7 @@ from horus_ner_spark.ops import (
     catalog_relational,
     catalog_text,
     engine_entries,
+    io_entries,
     multimodal,
 )
 
@@ -15,6 +16,7 @@ ALL_ENTRIES: dict[str, tuple] = {}
 ALL_ENTRIES.update(catalog_relational.ENTRIES)
 ALL_ENTRIES.update(catalog_text.ENTRIES)
 ALL_ENTRIES.update(engine_entries.ENTRIES)
+ALL_ENTRIES.update(io_entries.ENTRIES)
 ALL_ENTRIES.update(multimodal.ENTRIES)
 
 

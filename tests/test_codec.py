@@ -57,3 +57,34 @@ def test_compression_actually_compresses():
     dvb, tvb = encode_block(doc_ids, tfs)
     assert len(dvb) < 10_000 * 2  # vs 80_000 raw bytes
     assert len(tvb) == 10_000
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=50),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_position_stream_roundtrip(pos_sets):
+    """Concat of per-posting encoded position streams decodes and re-splits
+    exactly (the block pos_vb layout)."""
+    from horus_ner_spark.index.codec import (
+        decode_positions,
+        encode_positions,
+        pos_slice_offsets,
+    )
+
+    runs = [np.array(sorted(s), dtype=np.int64) for s in pos_sets]
+    encoded = [encode_positions(r) for r in runs]
+    stream = b"".join(encoded)
+    tfs = np.array([len(r) for r in runs], dtype=np.int64)
+    vals, starts = decode_positions(stream, tfs)
+    assert len(vals) == int(tfs.sum())
+    for i, r in enumerate(runs):
+        assert np.array_equal(vals[starts[i] : starts[i + 1]], r)
+    off = pos_slice_offsets(stream, tfs)
+    assert off[0] == 0 and off[-1] == len(stream)
+    for i, e in enumerate(encoded):
+        assert stream[off[i] : off[i + 1]] == e
