@@ -88,17 +88,29 @@ def _strip_accents(text: str) -> str:
     )
 
 
+def _maybe_unescape(text: str) -> str:
+    """HTML entity decode (F7) — reference normalizes entities before
+    tokenizing (util.py:30-36, 590-601): without this ``&amp;`` tokenizes
+    as ``amp``.  Guarded to texts containing ``&`` so entity-free corpora
+    tokenize byte-identically (and at zero cost)."""
+    if "&" not in text:
+        return text
+    import html
+
+    return html.unescape(text)
+
+
 def tokenize(text: str | None, lang: str | None) -> list[str]:
     """Pure, deterministic tokenization of one document or query string.
 
-    Pipeline: accent strip -> identifier/sub-token split -> lowercase ->
-    per-lang stoplist -> length gate [2, 64].
+    Pipeline: entity decode -> accent strip -> identifier/sub-token split
+    -> lowercase -> per-lang stoplist -> length gate [2, 64].
     """
     if not text:
         return []
     stop = STOPLISTS.get(lang or "", _EMPTY)
     out: list[str] = []
-    for tok in _SUBTOKEN_RE.findall(_strip_accents(text)):
+    for tok in _SUBTOKEN_RE.findall(_strip_accents(_maybe_unescape(text))):
         t = tok.lower()
         if _MIN_TOKEN_LEN <= len(t) <= _MAX_TOKEN_LEN and t not in stop:
             out.append(t)
@@ -116,7 +128,9 @@ def tokenize_tf(text: str | None, lang: str | None) -> dict[str, int]:
 
     stop = STOPLISTS.get(lang or "", _EMPTY)
     out: dict[str, int] = {}
-    for raw, c in Counter(_SUBTOKEN_RE.findall(_strip_accents(text))).items():
+    for raw, c in Counter(
+        _SUBTOKEN_RE.findall(_strip_accents(_maybe_unescape(text)))
+    ).items():
         t = raw.lower()
         if _MIN_TOKEN_LEN <= len(t) <= _MAX_TOKEN_LEN and t not in stop:
             out[t] = out.get(t, 0) + c

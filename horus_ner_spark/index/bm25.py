@@ -12,6 +12,16 @@ Determinism contract (BASELINE hard-part (a)):
   broken by doc_id ascending — identical rule in the DataFrame brute-force
   path, the block-max WAND kernel, and the pure-Python oracle, so "rank
   identical" is well-defined across float summation orders.
+
+Summation-discipline caveat (documented trade-off): the three kernels sum
+per-doc contributions differently — WAND/oracle use ``math.fsum`` +
+``round``, the vectorized exhaustive kernel uses ``np.add.reduceat`` +
+``np.round``, the JVM paths use Spark/DuckDB partial-agg order + bround.
+All operate on the same float64 contributions in sorted-term order, so any
+divergence requires a sum landing within 1 ulp of a 6-dp half boundary —
+never observed across the rank-equality suite (4-way kernel identity at
+every tested scale), and accepted rather than forcing every path through
+one scalar summation (which would forbid vectorized and JVM execution).
 """
 
 from __future__ import annotations

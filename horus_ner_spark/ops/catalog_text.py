@@ -431,6 +431,85 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+# Production-shape banded MinHash-LSH (the round-1 review's ask: 4 perms /
+# 4 bands of size 1 is a toy whose candidate set nears all-pairs).
+# 128 perms in 32 bands of r=4: P(candidate | jaccard j) = 1 - (1 - j^4)^32
+# -> ~0.9997 at j=0.8, ~0.04 at j=0.3 — the standard near-dup S-curve.
+_LSH_PERMS = 128
+_LSH_BANDS = 32
+_LSH_R = _LSH_PERMS // _LSH_BANDS
+
+
+def banded_lsh_pairs_df(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> candidate near-dup pairs via banded MinHash.
+
+    One shuffle builds all 128 signature mins (map-side combine on the
+    groupBy — a hot shingle contributes one partial per task); band
+    signatures hash r consecutive mins; the candidate join buckets on
+    (band_id, band_sig), so no pair is ever formed outside a shared bucket
+    — the property that keeps this linear-ish at 10^12 docs, where
+    band_sig becomes the partition key."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_LSH_PERMS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_sigs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{j * _LSH_R + t}") for t in range(_LSH_R)]
+                )
+            )
+            for j in range(_LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band_id", "band_sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def lsh_banded_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs over the documents shingles
+    (128 perms, 32 bands x 4 rows) — candidate recall vs exact Jaccard is
+    asserted in tests/test_lsh_recall.py."""
+    return banded_lsh_pairs_df(_shingles_df(spark, sf_dir))
+
+
+def _lsh_banded_sql() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_LSH_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, md5("
+        + " || '|' || ".join(f"mh{j * _LSH_R + t}" for t in range(_LSH_R))
+        + ") AS band_sig FROM sig"
+        for j in range(_LSH_BANDS)
+    )
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM shingled GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+LSH_BANDED_PAIRS_SQL = _lsh_banded_sql()
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash per doc: per-term 60-bit hash (md5 prefix), tf-weighted
     bit votes, sign -> bit.  Hamming-close signatures = near-dups."""
@@ -853,6 +932,184 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+_KMEANS_ITERS = 2
+_CENT_QUANT = 6  # centroid coordinates round to 6 dp after each iteration
+
+
+def _nearest_cell(e: DataFrame, cents: DataFrame, keep_n: int = 1) -> DataFrame:
+    """Assign each vector to its ``keep_n`` max-cosine centroids."""
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos",
+        F.expr(
+            "aggregate(zip_with(embedding, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        )
+        / (F.col("norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep_n)
+        .select("vec_id", "embedding", "norm", "cell", "rn")
+    )
+
+
+def _kmeans_centroids(e: DataFrame) -> DataFrame:
+    """Seeded Lloyd iterations as pure DataFrame aggs: start from the
+    deterministic seed centroids (vec_id < n_cells — the round-1 stub),
+    then ``_KMEANS_ITERS`` times: assign (broadcast cross join, tiny
+    centroid side) -> elementwise mean per cell (posexplode to (cell, dim)
+    and ONE hash agg — the scalable layout for any dim) -> reassemble.
+    Centroid coordinates quantize per iteration so the fixpoint is
+    reproducible across summation orders (shared determinism contract)."""
+    cents = e.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    for _ in range(_KMEANS_ITERS):
+        assigned = _nearest_cell(e, cents, keep_n=1)
+        dims = assigned.select(
+            "cell", F.posexplode("embedding").alias("dim", "v")
+        )
+        mean = (
+            dims.groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), _CENT_QUANT).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+                .alias("c_emb")
+            )
+        )
+        cents = mean.withColumn(
+            "c_norm",
+            F.expr(
+                "sqrt(aggregate(c_emb, 0D, (a, x) -> a + x * x))"
+            ),
+        ).select("cell", "c_emb", "c_norm")
+    return cents
+
+
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with LEARNED coarse centroids (2 seeded Lloyd iterations)
+    instead of the first-8-vectors stub — same probe discipline as
+    ann_ivf_topk (home cell rn=1, queries probe their 2 nearest cells).
+    recall@10 vs the exact ann_cosine_topk baseline is asserted and
+    reported in tests/test_ann_recall.py."""
+    e = _emb(spark, sf_dir).withColumn(
+        "norm", F.expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    )
+    cents = _kmeans_centroids(e)
+    cells = _nearest_cell(e, cents, keep_n=_IVF_NPROBE)
+    home = cells.filter(F.col("rn") == 1)
+    q = cells.filter(F.col("vec_id").isin(*_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cell").alias("probe_cell"),
+    )
+    scored = (
+        home.join(F.broadcast(q), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, q_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("norm") * F.col("q_norm")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _ann_ivf_kmeans_sql() -> str:
+    """Unrolled Lloyd iterations in SQL: the oracle re-derives the SAME
+    seeded centroids (assignment -> per-(cell, dim) rounded mean ->
+    list reassembly), then mirrors the probe/rank pipeline."""
+    base = f"""
+e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding, embedding)) AS norm
+  FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cell, embedding AS c_emb, norm AS c_norm FROM e
+  WHERE vec_id < {_IVF_N_CELLS}
+)"""
+    steps = []
+    for it in range(_KMEANS_ITERS):
+        prev = f"cents{it}"
+        steps.append(f"""
+assigned{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, {prev}.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, {prev}.c_emb)
+                      / (e.norm * {prev}.c_norm) DESC, {prev}.cell ASC
+           ) AS rn
+    FROM e, {prev}
+  ) WHERE rn = 1
+),
+dims{it} AS (
+  SELECT a.cell, generate_subscripts(e.embedding, 1) - 1 AS dim,
+         unnest(e.embedding) AS v
+  FROM e JOIN assigned{it} a USING (vec_id)
+),
+mean{it} AS (
+  SELECT cell, dim, round(avg(CAST(v AS DOUBLE)), {_CENT_QUANT}) AS m
+  FROM dims{it} GROUP BY cell, dim
+),
+cents{it + 1} AS (
+  SELECT cell, list(m ORDER BY dim) AS c_emb,
+         sqrt(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim))) AS c_norm
+  FROM mean{it} GROUP BY cell
+)""")
+    final = f"cents{_KMEANS_ITERS}"
+    return f"""
+WITH {base},{','.join(steps)},
+cells AS (
+  SELECT vec_id, embedding, norm, cell, rn FROM (
+    SELECT e.vec_id, e.embedding, e.norm, {final}.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, {final}.c_emb)
+                      / (e.norm * {final}.c_norm) DESC, {final}.cell ASC
+           ) AS rn
+    FROM e, {final}
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+home AS (SELECT * FROM cells WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell AS probe_cell
+  FROM cells WHERE vec_id IN {_ANN_QUERY_IDS}
+),
+scored AS (
+  SELECT q.query_id, home.vec_id,
+         round(list_dot_product(home.embedding, q.q_emb) / (home.norm * q.q_norm), 4) AS cosine
+  FROM home JOIN q ON home.cell = q.probe_cell
+  WHERE home.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+ANN_IVF_KMEANS_SQL = _ann_ivf_kmeans_sql()
+
+
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
@@ -893,10 +1150,12 @@ ENTRIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "lsh_banded_pairs": (lsh_banded_pairs, LSH_BANDED_PAIRS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "embed_cosine_pairs": (embed_cosine_pairs, EMBED_COSINE_PAIRS_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_TOPK_SQL),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, ANN_IVF_KMEANS_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "quality_score": (quality_score, QUALITY_SCORE_SQL),

@@ -9,10 +9,17 @@ configurable per dataset (Ritter ner.txt is (token, ner); CoNLL2003 is
 
 Spark mapping: the reference's stateful line loop becomes a window
 computation — ``sent_id`` is a running count of blank lines *within each
-input file* (``Window.partitionBy(input_file_name)``), so a directory of
-CoNLL files parses with per-file parallelism and no global sort; a single
-file is one partition's window, which is the correct scale trade-off for a
-line-delimited format whose sentences are order-dependent.
+input file* (``Window.partitionBy(file)``), so a directory of CoNLL files
+parses with per-file parallelism and no global sort.
+
+Line order is taken from the file's own bytes: files read ``wholetext``
+(one row per file) and split into (line_id, line) with ``posexplode`` —
+deterministic at ANY partitioning.  The previous layout derived order from
+``monotonically_increasing_id``, which silently mis-segments when a file
+larger than ``spark.sql.files.maxPartitionBytes`` splits into several
+bin-packed input partitions (round-1 review).  ``wholetext`` makes a file
+one task — the correct trade-off for a line-delimited format whose
+sentences are order-dependent; parallelism comes from the file count.
 """
 
 from __future__ import annotations
@@ -38,11 +45,12 @@ def read_conll(
     are dropped (reference: util.py:826-835).
     """
     lines = (
-        spark.read.text(path)
+        spark.read.option("wholetext", True).text(path)
         .select(
-            F.col("value").alias("line"),
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
-            F.monotonically_increasing_id().alias("line_id"),
+            F.posexplode(F.split(F.col("value"), "\r?\n")).alias(
+                "line_id", "line"
+            ),
         )
     )
     wf = Window.partitionBy("file").orderBy("line_id")

@@ -70,3 +70,42 @@ def test_multi_file_parallel_parse(spark, tmp_path):
         r["file"]: r["n_sentences"] for r in conll_sentence_stats(df).collect()
     }
     assert per_file == {"a.txt": 2, "b.txt": 1}
+
+
+def test_conll_tsv_export_roundtrip(spark, tmp_path):
+    """S13: write_conll_tsv emits token<TAB>ner rows with blank separator
+    rows between sentences; read_conll parses it back identically."""
+    from horus_ner_spark.sources.feature_csv import write_conll_tsv
+
+    p = tmp_path / "in.txt"
+    p.write_text(RITTER_2COL)
+    df = read_conll(spark, str(p), token_index=0, ner_index=1)
+    out = str(tmp_path / "export")
+    write_conll_tsv(df.select("sent_id", "word_idx", "token", "ner"), out)
+
+    back = read_conll(spark, out, token_index=0, ner_index=1, separator="\t")
+    a = sorted(
+        (r["sent_id"], r["word_idx"], r["token"], r["ner"]) for r in df.collect()
+    )
+    b = sorted(
+        (r["sent_id"], r["word_idx"], r["token"], r["ner"]) for r in back.collect()
+    )
+    assert a == b and len(a) == 6
+
+
+def test_large_file_many_partitions_order(spark, tmp_path):
+    """Line order must survive any input partitioning (round-1 review:
+    monotonically_increasing_id mis-segmented split files).  wholetext
+    reads one row per file, so maxPartitionBytes cannot reorder lines."""
+    n = 2000
+    body = "".join(f"tok{i} O\n\n" for i in range(n))  # n 1-token sentences
+    p = tmp_path / "big.txt"
+    p.write_text(body)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")  # force splits
+        df = read_conll(spark, str(p), token_index=0, ner_index=1)
+        rows = sorted((r["sent_id"], r["token"]) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert rows == [(i, f"tok{i}") for i in range(n)]

@@ -74,3 +74,16 @@ def test_tokenize_tf_matches_counter():
     assert tokenize_tf(None, "python") == {}
     # case variants fold into one key with summed counts
     assert tokenize_tf("Config CONFIG config", "java") == {"config": 3}
+
+
+def test_html_entity_decode():
+    """F7: entities decode before splitting (reference util.py:30-36,590-601)."""
+    assert tokenize("&amp;", None) == []                      # '&' alone: no token
+    assert tokenize("cats &amp; dogs", None) == ["cats", "dogs"]
+    assert tokenize("&lt;div&gt;text&lt;/div&gt;", None) == ["div", "text", "div"]
+    assert tokenize("it&#39;s &quot;fine&quot;", None) == ["it", "fine"]
+    assert tokenize("A&amp;B corp", None) == ["corp"]         # len-1 survivors drop
+    # single-pass: '&amp;lt;' -> literal '&lt;' -> token 'lt' gate-dropped... 'lt' is len 2 -> kept
+    assert tokenize("&amp;lt;", None) == ["lt"]
+    # entity-free text: byte-identical to the non-unescape path
+    assert tokenize("parseConfig &x", None) == ["parse", "config"]
