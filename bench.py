@@ -79,13 +79,29 @@ def main() -> None:
     bm25_wand(spark, paths, query_set()).collect()
     timings["wand_batch_all_queries"] = round(time.perf_counter() - t0, 3)
 
+    # phrase mode over the positional index (serving path, warm)
+    t0 = time.perf_counter()
+    server.search("hash_join mergeSort", "python", k=10, mode="PHRASE")
+    timings["serve_phrase_query"] = round(time.perf_counter() - t0, 4)
+
+    # partition-parallel single-query scoring (the mega-query scale path)
+    from horus_ner_spark.index.query import bm25_distributed
+
+    t0 = time.perf_counter()
+    bm25_distributed(
+        spark, paths, [q for q in query_set() if q["query_id"] == 7]
+    ).collect()
+    timings["distributed_single_query"] = round(time.perf_counter() - t0, 3)
+
     # ── headline catalog queries over driver testdata ───────────────────────
     qfns = registry.queries()
     for name in (
         "q1_pricing_summary", "q3_top_orders", "window_topk_parts",
         "sessionize_events", "bm25_topk_docs", "dedup_minhash_sig",
-        "minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
-        "quality_score", "engine_bm25_wand_docs",
+        "minhash_lsh_pairs", "lsh_banded_pairs", "dedup_simhash",
+        "ann_cosine_topk", "ann_ivf_kmeans_topk", "quality_score",
+        "engine_bm25_wand_docs", "bm25_phrase_topk_docs",
+        "feature_csv_roundtrip",
     ):
         t0 = time.perf_counter()
         qfns[name](spark, SF_DIR).collect()

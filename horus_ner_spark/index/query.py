@@ -500,6 +500,105 @@ def bm25_wand(
     )
 
 
+def bm25_distributed(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[dict],
+    n_pbuckets: int = N_PBUCKETS,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Partition-parallel BM25 over the compressed blocks — the mega-query
+    scale path (round-1 review: WAND runs ONE Python task per query; a
+    query whose terms span 10^10 postings needs the cluster, not a core).
+
+    Plan: pruned block fetch -> repartition to ``n_tasks`` -> one Arrow
+    kernel per partition decodes its blocks and PARTIALLY AGGREGATES
+    per-(query, doc) contributions (map-side combine in the kernel, so the
+    shuffle carries one row per distinct doc per partition, never one per
+    posting) -> JVM hash-agg sums partials -> bround quantize -> window
+    top-k.  Rank-identical to bm25_bruteforce (same JVM summation +
+    quantize-then-rank contract; tested)."""
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    qt_rows = _query_terms(queries)
+    if not qt_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    terms = sorted({r["term"] for r in qt_rows})
+    buckets = sorted({term_bucket(t, n_pbuckets) for t in terms})
+    term_df = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(paths.term_stats)
+        .filter(F.col("pbucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    }
+    idfs = {t: bm25.idf(n_docs, term_df[t]) for t in term_df}
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("pbucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qt), "term")
+        .select("query_id", "term", "doc_ids_vb", "tfs_vb", "doclens_vb")
+    )
+    n_tasks = n_tasks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def partial_scores(batches):
+        # per-partition partial aggregation, numpy-vectorized: decode each
+        # block to (doc, contrib) arrays, then one sort + reduceat per query
+        by_q: dict[int, list] = {}
+        for pdf in batches:
+            for qid, t, dvb, tvb, lvb in zip(
+                pdf["query_id"], pdf["term"], pdf["doc_ids_vb"],
+                pdf["tfs_vb"], pdf["doclens_vb"],
+            ):
+                d, tf = decode_block(bytes(dvb), bytes(tvb))
+                dl = vb_decode(bytes(lvb)).view(np.int64)
+                contrib = idfs[t] * tf * (bm25.K1 + 1.0) / (
+                    tf + bm25.K1
+                    * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
+                )
+                by_q.setdefault(int(qid), []).append((d, contrib))
+        for q, pairs in by_q.items():
+            docs = np.concatenate([p[0] for p in pairs])
+            cs = np.concatenate([p[1] for p in pairs])
+            order = np.argsort(docs, kind="stable")
+            docs, cs = docs[order], cs[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(len(starts), q, dtype=np.int32),
+                    "doc_id": docs[starts],
+                    "partial": np.add.reduceat(cs, starts),
+                }
+            )
+
+    partials = blocks.repartition(n_tasks).mapInPandas(
+        partial_scores, "query_id int, doc_id long, partial double"
+    )
+    agg = partials.groupBy("query_id", "doc_id").agg(
+        F.bround(F.sum("partial"), bm25.QUANT).alias("score")
+    )
+    ksdf = spark.createDataFrame(
+        [(qid, k) for qid, k in ks.items()], "query_id int, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ksdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _segment_global_stats(
     spark: SparkSession, segments: list[IndexPaths], terms: list[str],
     buckets: list[int],
