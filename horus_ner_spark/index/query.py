@@ -280,35 +280,79 @@ def _phrase_one_query(
     retrieval (src/core/feature_extraction/util.py:154-181 NP chunks are
     searched as a unit; util.py:623-712 emits compound rows first) — an
     index without positions cannot answer them."""
+    from horus_ner_spark.index.codec import pos_slice_offsets
+
     distinct = sorted(set(phrase))
     if any(t not in term_blocks or not len(term_blocks[t]) for t in distinct):
         return []
-    # decode each distinct term fully: doc -> (tf, doclen, positions)
-    per_term: dict[str, dict[int, tuple[int, int, np.ndarray]]] = {}
-    doc_sets: list[set] = []
+    # pass 1: decode doc ids only (cheap) and intersect — position streams
+    # stay encoded; a phrase of hot terms must not pay a full position
+    # decode for postings that can never match
+    decoded: dict[str, list] = {}
+    doc_arrays: dict[str, list[np.ndarray]] = {}
     for t in distinct:
         b = term_blocks[t]
-        m: dict[int, tuple[int, int, np.ndarray]] = {}
+        lst = []
         for dvb, tvb, lvb, pvb in zip(
             b["doc_ids_vb"], b["tfs_vb"], b["doclens_vb"], b["pos_vb"]
         ):
             d, tf = decode_block(bytes(dvb), bytes(tvb))
             dl = vb_decode(bytes(lvb)).view(np.int64)
-            vals, starts = decode_positions(bytes(pvb), tf)
-            for i in range(len(d)):
-                m[int(d[i])] = (
-                    int(tf[i]), int(dl[i]), vals[starts[i] : starts[i + 1]]
-                )
+            lst.append((d, tf, dl, bytes(pvb)))
+        decoded[t] = lst
+        doc_arrays[t] = [d for d, _tf, _dl, _p in lst]
+    inter: np.ndarray | None = None
+    for t in sorted(distinct, key=lambda t: sum(len(a) for a in doc_arrays[t])):
+        docs_t = np.sort(np.concatenate(doc_arrays[t]))
+        inter = (
+            docs_t
+            if inter is None
+            else np.intersect1d(inter, docs_t, assume_unique=True)
+        )
+        if not len(inter):
+            return []
+
+    def _member(d: np.ndarray) -> np.ndarray:
+        # membership against the sorted candidate set without re-sorting
+        pos = np.minimum(np.searchsorted(inter, d), len(inter) - 1)
+        return inter[pos] == d
+
+    # pass 2: decode positions only for blocks that hold >= 1 candidate
+    per_term: dict[str, dict[int, tuple[int, int, np.ndarray]]] = {}
+    for t in distinct:
+        m: dict[int, tuple[int, int, np.ndarray]] = {}
+        for d, tf, dl, pvb in decoded[t]:
+            hits = np.flatnonzero(_member(d))
+            if not len(hits):
+                continue
+            if len(hits) * 8 >= len(d):  # dense: one vectorized decode
+                vals, starts = decode_positions(pvb, tf)
+                for i in hits:
+                    m[int(d[i])] = (
+                        int(tf[i]), int(dl[i]), vals[starts[i] : starts[i + 1]]
+                    )
+            else:  # sparse: slice + decode just the hit postings
+                off = pos_slice_offsets(pvb, tf)
+                for i in hits:
+                    vals, _ = decode_positions(
+                        pvb[off[i] : off[i + 1]], tf[i : i + 1]
+                    )
+                    m[int(d[i])] = (int(tf[i]), int(dl[i]), vals)
         per_term[t] = m
-        doc_sets.append(set(m))
-    candidates = sorted(set.intersection(*doc_sets))
+    candidates = sorted(int(x) for x in inter)
     idfs = {t: bm25.idf(n_docs, term_df[t]) for t in distinct}
+    def _pos_member(sorted_pos: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        # positions are sorted: searchsorted membership beats np.isin's
+        # per-call sort/min/max overhead by ~30x on tiny arrays
+        idx = np.minimum(np.searchsorted(sorted_pos, vals), len(sorted_pos) - 1)
+        return sorted_pos[idx] == vals
+
     scored: list[tuple[float, int]] = []
     for doc in candidates:
         # phrase check: a start position p such that term_i sits at p + i
         anchors = per_term[phrase[0]][doc][2]
         for i, t in enumerate(phrase[1:], start=1):
-            anchors = anchors[np.isin(anchors + i, per_term[t][doc][2])]
+            anchors = anchors[_pos_member(per_term[t][doc][2], anchors + i)]
             if not len(anchors):
                 break
         if not len(anchors):

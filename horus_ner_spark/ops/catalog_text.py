@@ -1140,8 +1140,88 @@ FROM documents
 """
 
 
+# Tag-map lookups both ways the reference uses its static tag tables
+# (definitions.py:85-95 POS/NER maps): a literal create_map expression
+# (constant-folded into codegen) AND a broadcast-joined 2-column map table
+# (the form you'd use when the map lives in storage).  Both must agree.
+_EVENT_CATEGORY = [
+    ("click", "engagement"), ("view", "engagement"),
+    ("purchase", "commerce"), ("signup", "growth"), ("error", "ops"),
+]
+
+
+def tag_map_lookup(spark, sf_dir):
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _EVENT_CATEGORY for x in pair]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    via_map = ev.select(
+        "event_id", "event_type", mapping[F.col("event_type")].alias("cat_expr")
+    )
+    map_table = spark.createDataFrame(
+        _EVENT_CATEGORY, "event_type string, cat_join string"
+    )
+    return (
+        via_map.join(F.broadcast(map_table), "event_type", "left")
+        .withColumn("agree", (F.col("cat_expr") == F.col("cat_join")).cast("int"))
+        .select("event_id", "event_type", "cat_expr", "cat_join", "agree")
+    )
+
+
+TAG_MAP_LOOKUP_SQL = f"""
+WITH m(event_type, cat) AS (
+  VALUES {', '.join(f"('{k}', '{v}')" for k, v in _EVENT_CATEGORY)}
+)
+SELECT event_id, event_type, m.cat AS cat_expr, m.cat AS cat_join, 1 AS agree
+FROM events LEFT JOIN m USING (event_type)
+"""
+
+
+def vocab_union_sets(spark, sf_dir):
+    """Literal set algebra over per-source vocabularies (U1/U3):
+    array_union / array_intersect / array_except + cardinalities for the
+    (src0, src1) pair.  Reference: per-class vocabulary set unions,
+    benchmarking.py:66-74."""
+    d = _docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    vocab = (
+        d.select("source", F.explode(F.expr(_TOKS2)).alias("tok"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_set("tok")).alias("vocab"))
+    )
+    a = vocab.filter(F.col("source") == "src0").select(
+        F.col("vocab").alias("va")
+    )
+    b = vocab.filter(F.col("source") == "src1").select(
+        F.col("vocab").alias("vb")
+    )
+    return a.crossJoin(b).select(
+        F.size("va").alias("n_a"),
+        F.size("vb").alias("n_b"),
+        F.size(F.array_union("va", "vb")).alias("n_union"),
+        F.size(F.array_intersect("va", "vb")).alias("n_intersect"),
+        F.size(F.array_except("va", "vb")).alias("n_only_a"),
+    )
+
+
+VOCAB_UNION_SQL = f"""
+WITH v AS (
+  SELECT source, list_distinct(flatten(list({_SQL_TOKS2}))) AS vocab
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY source
+),
+a AS (SELECT vocab AS va FROM v WHERE source = 'src0'),
+b AS (SELECT vocab AS vb FROM v WHERE source = 'src1')
+SELECT CAST(len(va) AS INT) AS n_a, CAST(len(vb) AS INT) AS n_b,
+       CAST(len(list_distinct(list_concat(va, vb))) AS INT) AS n_union,
+       CAST(len(list_intersect(va, vb)) AS INT) AS n_intersect,
+       CAST(len(list_filter(va, x -> NOT list_contains(vb, x))) AS INT) AS n_only_a
+FROM a, b
+"""
+
+
 ENTRIES: dict[str, tuple] = {
     "doc_tf": (doc_tf, DOC_TF_SQL),
+    "tag_map_lookup": (tag_map_lookup, TAG_MAP_LOOKUP_SQL),
+    "vocab_union_sets": (vocab_union_sets, VOCAB_UNION_SQL),
     "term_stats_docs": (term_stats_docs, TERM_STATS_SQL),
     "corpus_stats_docs": (corpus_stats_docs, CORPUS_STATS_SQL),
     "bm25_topk_docs": (bm25_topk_docs, BM25_TOPK_SQL),
