@@ -289,37 +289,56 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
 
 
 def _tokenize_tf_batches(batches):
-    """mapInPandas kernel: (doc_id, lang, content) -> (doc_id, term, tf,
+    """mapInArrow kernel: (doc_id, lang, content) -> (doc_id, term, tf,
     doclen, pos_vb) — tokenization, per-doc tf/doclen, AND per-(doc, term)
     position streams in ONE pass with no shuffle (all per-document-local).
 
-    Position handling is batch-vectorized: the batch's tokens factorize to
-    int codes once, one lexsort groups (doc, term) runs, the position
-    delta-gaps for the WHOLE batch varbyte-encode in a single codec call,
-    and per-row sub-streams are memoryview slices — never a per-token
-    Python loop beyond the tokenizer itself."""
+    Batch-vectorized end to end: tokens factorize to int codes once, one
+    stable lexsort groups (doc, term) runs (positions stay ascending within
+    a run for free), the position delta-gaps for the WHOLE batch
+    varbyte-encode in a single codec call, and the output is built as Arrow
+    arrays directly — the term column via dictionary codes (one Python
+    string per DISTINCT term, not per row) and pos_vb ZERO-COPY from the
+    (offsets, stream) buffer pair, never a per-row bytes object.  The
+    round-2 pandas version spent 3x the tokenizer's own cost boxing 1.3M
+    strings/bytes into a DataFrame."""
+    import pyarrow as pa
+
     from horus_ner_spark.functions.tokenizer import tokenize
     from horus_ner_spark.index.codec import vb_encode
 
-    for pdf in batches:
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.string()),
+            ("tf", pa.int64()),
+            ("doclen", pa.int64()),
+            ("pos_vb", pa.binary()),
+        ]
+    )
+    for rb in batches:
+        doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        langs = rb.column(rb.schema.get_field_index("lang")).to_pylist()
+        contents = rb.column(rb.schema.get_field_index("content")).to_pylist()
         toks_per_doc = [
-            tokenize(content, lang)
-            for lang, content in zip(pdf["lang"], pdf["content"])
+            tokenize(content, lang) for lang, content in zip(langs, contents)
         ]
         doc_lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
         all_toks = [t for toks in toks_per_doc for t in toks]
         if not all_toks:
-            yield pd.DataFrame(
-                {"doc_id": np.empty(0, np.int64), "term": [],
-                 "tf": np.empty(0, np.int64), "doclen": np.empty(0, np.int64),
-                 "pos_vb": []}
+            yield pa.RecordBatch.from_pydict(
+                {f.name: [] for f in schema}, schema=schema
             )
             continue
         codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
         tok_doc = np.repeat(np.arange(len(doc_lens)), doc_lens)
+        # stable sort by (doc, code): token order within a doc is position
+        # order, so positions are ascending within each run with 2 keys
+        order = np.lexsort((codes, tok_doc))
         doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
         tok_pos = np.arange(len(codes)) - np.repeat(doc_starts, doc_lens)
-        order = np.lexsort((tok_pos, codes, tok_doc))
         sdoc, scode, spos = tok_doc[order], codes[order], tok_pos[order]
         # (doc, term) run boundaries
         change = np.flatnonzero((sdoc[1:] != sdoc[:-1]) | (scode[1:] != scode[:-1])) + 1
@@ -337,19 +356,27 @@ def _tokenize_tf_batches(batches):
         vends = np.flatnonzero(sarr < 0x80) + 1
         run_bounds = np.cumsum(run_lens)
         run_off = np.concatenate(([0], vends[run_bounds - 1]))
-        view = memoryview(stream)
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        yield pd.DataFrame(
-            {
-                "doc_id": doc_ids[sdoc[starts]],
-                "term": uniq[scode[starts]],
-                "tf": run_lens,
-                "doclen": doc_lens[sdoc[starts]],
-                "pos_vb": [
-                    bytes(view[run_off[i] : run_off[i + 1]])
-                    for i in range(len(starts))
-                ],
-            }
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(scode[starts], type=pa.int32()),
+            pa.array(uniq, type=pa.string()),
+        ).cast(pa.string())
+        # pa.binary() carries int32 offsets; a batch's pos stream is bounded
+        # by ~2 bytes/token * maxRecordsPerBatch docs * tokens/doc << 2 GiB
+        assert len(stream) < (1 << 31), "pos stream exceeds int32 offsets"
+        pos_col = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer(run_off.astype(np.int32)), pa.py_buffer(stream)],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids[sdoc[starts]], type=pa.int64()),
+                term_col,
+                pa.array(run_lens, type=pa.int64()),
+                pa.array(doc_lens[sdoc[starts]], type=pa.int64()),
+                pos_col,
+            ],
+            schema=schema,
         )
 
 
@@ -506,7 +533,7 @@ def build_index(
         tf = (
             with_doc_id(corpus)
             .select("doc_id", "lang", "content")
-            .mapInPandas(_tokenize_tf_batches, schema=TF_SCHEMA)
+            .mapInArrow(_tokenize_tf_batches, schema=TF_SCHEMA)
         )
         catalog.write_table(tf, paths.tf)
         per_part = _per_file_rows(_file_metrics(spark, paths.tf), "postings_emitted")
