@@ -51,18 +51,42 @@ class IndexServer:
     reference's per-term SQLite memo, sqlite_helper.py:42-48).
     """
 
-    def __init__(self, index_dir: str, n_pbuckets: int = N_PBUCKETS,
+    def __init__(self, index_dir: str | list[str], n_pbuckets: int = N_PBUCKETS,
                  cache_terms: int = 4096) -> None:
+        """``index_dir`` may be one built index or a LIST of segment dirs —
+        the streaming tier set (streaming/incremental.py): global stats sum
+        across segments (docs live in exactly one segment; corpus_stats
+        stores the integer token total, so the summed avgdl is bit-identical
+        to the merged index's) and per-term blocks/df concatenate, making
+        results rank-identical to serving the fully compacted index."""
         from horus_ner_spark import catalog
 
         catalog.require_path_refs("IndexServer")  # pyarrow path reads
-        paths = IndexPaths(index_dir)
-        stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
-        self.n_docs = int(stats["n_docs"])
-        self.avgdl = float(stats["avgdl"])
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        if not dirs:
+            raise ValueError("IndexServer needs at least one index dir")
+        n_docs = 0
+        total_len = 0
+        self._postings = []
+        self._term_stats = []
+        for d in dirs:
+            paths = IndexPaths(d)
+            stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
+            n_docs += int(stats["n_docs"])
+            total_len += int(stats.get("total_len") or
+                             round(float(stats["avgdl"]) * int(stats["n_docs"])))
+            self._postings.append(pads.dataset(paths.postings, partitioning="hive"))
+            self._term_stats.append(
+                pads.dataset(paths.term_stats, partitioning="hive")
+            )
+        self.n_docs = n_docs
+        self.avgdl = float(total_len) / n_docs if n_docs else 0.0
+        # multi-segment block sets overlap in doc-id ranges, which violates
+        # the WAND iterator's sorted-disjoint-blocks invariant — serve
+        # multi-segment queries with the vectorized exhaustive kernel
+        # (identical scores: each doc's postings live in one segment)
+        self._single_segment = len(dirs) == 1
         self.n_pbuckets = n_pbuckets
-        self._postings = pads.dataset(paths.postings, partitioning="hive")
-        self._term_stats = pads.dataset(paths.term_stats, partitioning="hive")
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
         self._cache_terms = cache_terms
 
@@ -86,13 +110,17 @@ class IndexServer:
         if misses:
             buckets = sorted({term_bucket(t, self.n_pbuckets) for t in misses})
             flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(misses)
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in self._term_stats.to_table(
-                    columns=["term", "df"], filter=flt
-                ).to_pylist()
-            }
-            blocks = self._postings.to_table(columns=_BLOCK_COLS, filter=flt).to_pandas()
+            dfs: dict[str, int] = {}
+            for ts in self._term_stats:  # df sums across disjoint segments
+                for r in ts.to_table(columns=["term", "df"], filter=flt).to_pylist():
+                    dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+            blocks = pd.concat(
+                [
+                    p.to_table(columns=_BLOCK_COLS, filter=flt).to_pandas()
+                    for p in self._postings
+                ],
+                ignore_index=True,
+            )
             for t in misses:
                 if t in dfs:
                     entry = (dfs[t], blocks[blocks["term"] == t])
@@ -138,12 +166,23 @@ class IndexServer:
                 k, self.n_docs, self.avgdl, require_all=len(terms),
             )
         else:
-            rows = _score_one_query(
+            rows = self._score(
                 {t: b for t, (_df, b) in loaded.items()},
                 {t: df for t, (df, _b) in loaded.items()},
-                k, self.n_docs, self.avgdl,
+                k,
             )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+
+    def _score(self, term_blocks, term_df, k):
+        if self._single_segment:
+            return _score_one_query(
+                term_blocks, term_df, k, self.n_docs, self.avgdl
+            )
+        from horus_ner_spark.index.query import _exhaustive_one_query
+
+        return _exhaustive_one_query(
+            term_blocks, term_df, k, self.n_docs, self.avgdl
+        )
 
     def search_batch(self, queries: list[dict]) -> pd.DataFrame:
         """Many queries -> (query_id, rank, doc_id, score); one storage read
@@ -159,7 +198,7 @@ class IndexServer:
             qid = q["query_id"]
             sub = {t: loaded[t][1] for t in per_q[qid] if t in loaded}
             dfs = {t: loaded[t][0] for t in per_q[qid] if t in loaded}
-            rows = _score_one_query(sub, dfs, q.get("k", 10), self.n_docs, self.avgdl)
+            rows = self._score(sub, dfs, q.get("k", 10))
             if not rows:
                 continue
             frames.append(

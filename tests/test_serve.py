@@ -68,3 +68,38 @@ def test_serve_and_mode(spark, sf001_index):
         with_term = {r["doc_id"] for r in tf.filter(tf.term == term).collect()}
         assert {int(r.doc_id) for r in both.itertuples()} <= with_term
     assert len(server.search("cache qqneverappearsxq", "python", 10, mode="AND")) == 0
+
+
+def test_multi_segment_serving_equals_merged(spark, tmp_path):
+    """IndexServer over a LIST of segment dirs (the streaming tier set)
+    answers rank-identically to serving the fully merged index."""
+    from horus_ner_spark.corpus import gen_corpus_pandas
+    from horus_ner_spark.index.build import build_index
+    from horus_ner_spark.index.merge import merge_indexes
+
+    corpus = gen_corpus_pandas(sf=0.001).iloc[:240]
+    segs = []
+    for i, sl in enumerate((slice(0, 90), slice(90, 240))):
+        cp = str(tmp_path / f"c{i}.parquet")
+        spark.createDataFrame(corpus.iloc[sl]).write.parquet(cp)
+        segs.append(build_index(spark, cp, str(tmp_path / f"ix{i}")))
+    merged = merge_indexes(spark, segs, str(tmp_path / "merged"))
+
+    multi = IndexServer([s.root for s in segs])
+    single = IndexServer(merged.root)
+    assert multi.n_docs == single.n_docs
+    assert multi.avgdl == single.avgdl  # bit-identical via integer total_len
+    qs = query_set()
+    a = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
+        for r in multi.search_batch(qs).itertuples()
+    )
+    b = sorted(
+        (int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
+        for r in single.search_batch(qs).itertuples()
+    )
+    assert a == b and len(a) > 0
+    # phrase mode over segments too
+    pa_ = multi.search("parse_config", lang="python", k=5, mode="PHRASE")
+    pb = single.search("parse_config", lang="python", k=5, mode="PHRASE")
+    assert pa_.values.tolist() == pb.values.tolist()
