@@ -690,7 +690,11 @@ def bm25_wand_segments(
     top-k lists then merge with a JVM-side window (global top-k is a subset
     of the union of per-segment top-k's).  This is also the engine's
     single-query parallelism path: one query over S segments runs as S
-    independent kernel tasks plus a tiny merge, instead of one task."""
+    independent kernel tasks plus a tiny merge, instead of one task.
+
+    Per-query ``mode`` (OR/AND/PHRASE) works segment-locally too: a doc's
+    postings — and hence its positions and its matched-term count — live
+    entirely in its home segment."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
@@ -698,6 +702,16 @@ def bm25_wand_segments(
         return spark.createDataFrame([], RESULT_SCHEMA)
     qt_rows = _query_terms(queries)
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    phrases = {
+        q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
+        for q in queries
+        if q.get("mode", "OR").upper() == "PHRASE"
+    }
+    n_query_terms = {
+        qid: len({r["term"] for r in qt_rows if r["query_id"] == qid})
+        for qid in ks
+    }
     if not qt_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({r["term"] for r in qt_rows})
@@ -719,7 +733,21 @@ def bm25_wand_segments(
     def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         term_blocks = {t: g for t, g in pdf.groupby("term")}
-        rows = _score_one_query(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        mode = modes.get(qid, "OR")
+        if mode == "PHRASE":
+            rows = _phrase_one_query(
+                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+                phrases[qid],
+            )
+        elif mode == "AND":
+            rows = _exhaustive_one_query(
+                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+                require_all=n_query_terms[qid],
+            )
+        else:
+            rows = _score_one_query(
+                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl
+            )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
             columns=["query_id", "rank", "doc_id", "score"],

@@ -122,6 +122,43 @@ def compact_tiers(
         n_merges += 1
 
 
+def gc_absorbed_units(index_root: str) -> list[str]:
+    """Retention job: delete the INDEX DATA of units already absorbed by a
+    compacted tier (their key stays recorded in the tier's ``inputs.json``,
+    so compaction bookkeeping and idempotence are unaffected).  Segment
+    corpus drops are kept so a checkpoint replay can rebuild; a rebuilt
+    absorbed unit is simply inactive.  Returns the removed paths."""
+    import shutil
+
+    live = {p for _lvl, p in active_units(index_root)}
+    absorbed: set[str] = set()
+    tdir = os.path.join(index_root, _TIER_DIR)
+    if os.path.isdir(tdir):
+        for name in sorted(os.listdir(tdir)):
+            meta = os.path.join(tdir, name, "inputs.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    absorbed.update(json.load(f)["inputs"])
+    removed = []
+    for key in sorted(absorbed):
+        path = os.path.join(index_root, key)
+        if path in live or not os.path.isdir(path):
+            continue
+        if key.startswith(_TIER_DIR + os.sep):
+            # an absorbed TIER keeps its inputs.json: deleting it would
+            # resurrect ITS absorbed inputs as active units
+            for entry in os.listdir(path):
+                if entry == "inputs.json":
+                    continue
+                full = os.path.join(path, entry)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            removed.append(path)
+        else:
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed
+
+
 def incremental_index_stream(
     spark: SparkSession,
     landing_dir: str,

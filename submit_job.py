@@ -11,7 +11,8 @@ from horus_ner_spark.session import build_package_zip; print(build_package_zip()
         build --corpus /data/corpus.parquet --index /data/ix
 
     spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
-        query --index /data/ix --query "parse config" --lang python --k 10
+        query --index /data/ix --query "parse config" --lang python --k 10 \
+        [--mode OR|AND|PHRASE] [--export csv|json --out /data/results]
 
     spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
         merge --segments /data/ix_a /data/ix_b --out /data/ix_merged
@@ -39,6 +40,10 @@ def main() -> None:
     q.add_argument("--query", required=True)
     q.add_argument("--lang", default="python")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
+    q.add_argument("--export", choices=["csv", "json"],
+                   help="also write results via the export sinks")
+    q.add_argument("--out", help="export directory (required with --export)")
     m = sub.add_parser("merge", help="sort-merge index segments")
     m.add_argument("--segments", nargs="+", required=True)
     m.add_argument("--out", required=True)
@@ -66,14 +71,29 @@ def main() -> None:
             "elapsed_s": round(time.perf_counter() - t0, 3), "totals": totals,
         }))
     elif args.cmd == "query":
-        res = bm25_wand(
+        rdf = bm25_wand(
             spark, IndexPaths(args.index),
-            [{"query_id": 0, "query_text": args.query, "lang": args.lang, "k": args.k}],
-        ).collect()
+            [{"query_id": 0, "query_text": args.query, "lang": args.lang,
+              "k": args.k, "mode": args.mode}],
+        )
+        if args.export:
+            if not args.out:
+                p.error("--export requires --out")
+            from horus_ner_spark.sources.feature_csv import (
+                write_csv_export,
+                write_json_export,
+            )
+
+            if args.export == "csv":
+                write_csv_export(rdf, args.out)
+            else:
+                write_json_export(rdf, args.out)
+        res = rdf.collect()
         for r in res:
             print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
         print(json.dumps({
-            "cmd": "query", "n_results": len(res),
+            "cmd": "query", "mode": args.mode, "n_results": len(res),
+            "export": args.export, "out": args.out,
             "elapsed_s": round(time.perf_counter() - t0, 3),
         }))
     else:

@@ -45,3 +45,44 @@ def test_spark_submit_build_then_query(tmp_path):
                  "--query", "parseConfig", "--lang", "python")
     assert res[-1]["cmd"] == "query" and res[-1]["n_results"] > 0
     assert res[0]["rank"] == 1 and isinstance(res[0]["doc_id"], int)
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_phrase_query_with_csv_export(tmp_path):
+    corpus = tmp_path / "corpus.parquet"
+    gen_corpus_pandas(sf=0.001).iloc[:200].to_parquet(corpus, index=False)
+    pyz = build_package_zip(str(tmp_path / "pkg.zip"))
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(*job_args):
+        out = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]", "--py-files", pyz,
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             os.path.join(REPO, "submit_job.py"), *job_args],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    submit("build", "--corpus", str(corpus), "--index", str(tmp_path / "ix"))
+    res = submit("query", "--index", str(tmp_path / "ix"),
+                 "--query", "parse_config", "--lang", "python",
+                 "--mode", "PHRASE", "--export", "csv",
+                 "--out", str(tmp_path / "res_csv"))
+    assert res[-1]["mode"] == "PHRASE" and res[-1]["export"] == "csv"
+    # exported CSV re-reads to exactly the printed rows
+    import glob
+
+    files = glob.glob(str(tmp_path / "res_csv" / "*.csv"))
+    assert files
+    lines = []
+    for f in files:
+        with open(f) as fh:
+            lines.extend(fh.read().splitlines())
+    header = "query_id,rank,doc_id,score"
+    assert header in lines
+    data = [l for l in lines if l and l != header]
+    assert len(data) == res[-1]["n_results"]

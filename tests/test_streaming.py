@@ -66,6 +66,18 @@ def test_incremental_stream_equals_single_shot(spark, tmp_path):
     # query-time segment merge is rank-identical to the merged index
     assert _segment_results(spark, ix_root) == _merged_results(spark, full)
 
+    # phrase + AND modes are segment-local too
+    for mode in ("PHRASE", "AND"):
+        q = [{"query_id": 1, "query_text": "parse_config", "lang": "python",
+              "k": 10, "mode": mode}]
+        seg = sorted(
+            tuple(r) for r in bm25_wand_segments(
+                spark, segment_paths(ix_root), q
+            ).collect()
+        )
+        ref = sorted(tuple(r) for r in bm25_wand(spark, full, q).collect())
+        assert seg == ref and len(seg) > 0, mode
+
 
 def test_tiered_compaction_bounds_merge_work(spark, tmp_path, monkeypatch):
     """fanout=2, 4 drops: compaction must run exactly 3 bounded merges
@@ -111,6 +123,15 @@ def test_tiered_compaction_bounds_merge_work(spark, tmp_path, monkeypatch):
     full_corpus = str(tmp_path / "full/corpus.parquet")
     spark.createDataFrame(corpus).write.parquet(full_corpus)
     full = build_index(spark, full_corpus, str(tmp_path / "full/ix"))
+    assert _segment_results(spark, ix_root) == _merged_results(spark, full)
+
+    # retention: absorbed unit data deletes; the live tier set and results
+    # are untouched, and bookkeeping (inputs.json) survives
+    removed = incremental.gc_absorbed_units(ix_root)
+    assert len(removed) >= 5  # 4 seg ix dirs + >=1 absorbed tier
+    assert len(active_units(ix_root)) == 1
+    assert not os.path.exists(os.path.join(ix_root, "seg_0", "ix"))
+    assert os.path.exists(os.path.join(ix_root, "seg_0", "corpus.parquet"))
     assert _segment_results(spark, ix_root) == _merged_results(spark, full)
 
 
