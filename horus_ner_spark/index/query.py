@@ -565,6 +565,12 @@ def bm25_distributed(
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
+    bad = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
+    if bad:  # partial per-doc sums can't express AND counts or positions
+        raise ValueError(
+            "bm25_distributed scores disjunctive (OR) queries only; route "
+            f"mode={bad[0]['mode']!r} through bm25_wand / bm25_wand_segments"
+        )
     stats = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qt_rows = _query_terms(queries)

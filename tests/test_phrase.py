@@ -111,3 +111,55 @@ def test_phrase_order_sensitive(spark, phrase_ix):
     assert got_a == {d for _r, d, _s in a}
     assert got_b == {d for _r, d, _s in b}
     assert got_a != got_b or (len(got_a) == 0 and len(got_b) == 0)
+
+
+def test_phrase_randomized_mini_corpora(spark, tmp_path):
+    """Property-style hardening: 3 seeded random mini-corpora with heavy
+    token reuse (so phrases collide and near-miss), engine phrase results
+    vs the naive scanner for several phrase lengths, plus the OR-mode
+    guard on bm25_distributed."""
+    import random
+
+    import pytest as _pytest
+
+    from horus_ner_spark.index.query import bm25_distributed
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        docs = pd.DataFrame(
+            {
+                "repo": ["r"] * 30,
+                "path": [f"f{i}" for i in range(30)],
+                "commit": ["c"] * 30,
+                "lang": ["en"] * 30,
+                "content": [
+                    " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+                    for _ in range(30)
+                ],
+            }
+        )
+        cp = str(tmp_path / f"c{seed}.parquet")
+        spark.createDataFrame(docs).write.parquet(cp)
+        paths = build_index(spark, cp, str(tmp_path / f"ix{seed}"))
+        from horus_ner_spark.index.build import with_doc_id
+
+        corpus = with_doc_id(spark.read.parquet(cp)).toPandas()
+        for phrase in ("aa bb", "bb bb", "aa bb cc", "ee dd cc bb"):
+            expected = _naive_phrase(corpus, phrase, "en", k=50)
+            got = [
+                (r["rank"], r["doc_id"], r["score"])
+                for r in bm25_wand(
+                    spark, paths,
+                    [{"query_id": 1, "query_text": phrase, "lang": "en",
+                      "k": 50, "mode": "PHRASE"}],
+                ).collect()
+            ]
+            assert got == expected, f"seed={seed} phrase={phrase!r}"
+
+    with _pytest.raises(ValueError, match="disjunctive"):
+        bm25_distributed(
+            spark, paths,
+            [{"query_id": 1, "query_text": "aa bb", "lang": "en",
+              "mode": "PHRASE"}],
+        )
