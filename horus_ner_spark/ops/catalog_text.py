@@ -512,22 +512,24 @@ LSH_BANDED_PAIRS_SQL = _lsh_banded_sql()
 
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash per doc: per-term 60-bit hash (md5 prefix), tf-weighted
-    bit votes, sign -> bit.  Hamming-close signatures = near-dups."""
+    bit votes, sign -> bit.  Hamming-close signatures = near-dups.
+
+    One hash aggregate with 60 vote columns — no row inflation (the round-1
+    version exploded every tf row 60x; same result, 60x the shuffle)."""
     tf = doc_tf(spark, sf_dir)
     h = tf.withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"))
-    bits = h.select(
-        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
+    votes = [
+        F.sum(
+            F.col("tf")
+            * (F.lit(2) * F.expr(f"(h div CAST({1 << i} AS BIGINT)) % 2") - F.lit(1))
+        ).alias(f"v{i}")
+        for i in range(60)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        (F.col(f"v{i}") > 0).cast("long") * F.lit(1 << i) for i in range(60)
     )
-    votes = bits.withColumn(
-        "vote", F.col("tf") * (F.lit(2) * F.expr("(h div CAST(pow(2, i) AS BIGINT)) % 2") - F.lit(1))
-    )
-    return (
-        votes.groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bit", (F.col("v") > 0).cast("long"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("bit * CAST(pow(2, i) AS BIGINT)")).alias("simhash"))
-    )
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 DEDUP_SIMHASH_SQL = f"""
