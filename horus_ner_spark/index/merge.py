@@ -60,15 +60,17 @@ def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
 
         term = pdf["term"].iloc[0]
         docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for _, row in pdf.iterrows():
-            d, t = decode_block(bytes(row["doc_ids_vb"]), bytes(row["tfs_vb"]))
+        for dvb, tvb, lvb, pvb in zip(
+            pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["doclens_vb"], pdf["pos_vb"]
+        ):
+            d, t = decode_block(bytes(dvb), bytes(tvb))
             docs_l.append(d)
             tfs_l.append(t)
-            dls_l.append(vb_decode(bytes(row["doclens_vb"])).view(np.int64))
+            dls_l.append(vb_decode(bytes(lvb)).view(np.int64))
             # positions move as verbatim per-posting byte slices — the
             # sub-streams are self-contained (codec.py), so merge never
             # re-encodes a position
-            pvb = bytes(row["pos_vb"])
+            pvb = bytes(pvb)
             off = pos_slice_offsets(pvb, t)
             pos_l.extend(pvb[off[i] : off[i + 1]] for i in range(len(t)))
         docs = np.concatenate(docs_l)
