@@ -35,7 +35,7 @@ Scale decisions (the parts that must survive 1000 executors / 10^12 files):
   destroy both build throughput and WAND skip efficiency.  The hot set is
   the Zipf head — tiny — and ships as a broadcast join.
 - **Group-spanning encode kernel**: posting assembly is ONE
-  ``repartition(term, rb) -> sortWithinPartitions -> mapInPandas`` pass,
+  ``repartition(term, rb) -> sortWithinPartitions -> mapInArrow`` pass,
   not per-group applyInPandas — one Arrow batch carries thousands of
   groups, so per-group overhead is a numpy slice, not a Spark task-side
   frame build.  Groups split across batch boundaries are carried over
