@@ -29,7 +29,7 @@ ENTITY_MAP: list[tuple[str, str]] = [
     ("&gt;|&#0*62;|&#x0*3[eE];", ">"),
     ("&quot;|&#0*34;|&#x0*22;", '"'),
     ("&apos;|&#0*39;|&#x0*27;", "'"),
-    ("&nbsp;|&#0*160;|&#x0*[aA]0;", " "),
+    ("&nbsp;|&#0*160;|&#x0*[aA]0;", " "),  # NBSP, same as html.unescape
     ("&amp;|&#0*38;|&#x0*26;", "&"),
 ]
 

@@ -40,6 +40,12 @@ from horus_ner_spark.index.codec import decode_block, decode_positions, vb_decod
 
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
+# block columns the scoring kernels read (pos_vb added only for PHRASE)
+_KERNEL_BLOCK_COLS = (
+    "term", "min_doc_id", "max_doc_id", "n_postings", "block_max_tfnorm",
+    "doc_ids_vb", "tfs_vb", "doclens_vb",
+)
+
 
 def queries_to_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
     return spark.createDataFrame(
@@ -283,6 +289,8 @@ def _phrase_one_query(
     from horus_ner_spark.index.codec import pos_slice_offsets
 
     distinct = sorted(set(phrase))
+    if not distinct:  # fully stoplisted/empty phrase matches nothing
+        return []
     if any(t not in term_blocks or not len(term_blocks[t]) for t in distinct):
         return []
     # pass 1: decode doc ids only (cheap) and intersect — position streams
@@ -460,6 +468,32 @@ def _wand_one_query(
     return [(r + 1, -nd, q) for r, (q, nd) in enumerate(ranked)]
 
 
+def _dispatch_query(
+    term_blocks: dict[str, pd.DataFrame],
+    term_df: dict[str, int],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+    mode: str,
+    phrase: list[str] | None,
+    require_all: int,
+    or_kernel=None,
+) -> list[tuple[int, int, float]]:
+    """One mode dispatcher shared by bm25_wand and bm25_wand_segments (and
+    mirrored by IndexServer), so a mode's semantics live in one place."""
+    if mode == "PHRASE":
+        return _phrase_one_query(
+            term_blocks, term_df, k, n_docs, avgdl, phrase or []
+        )
+    if mode == "AND":
+        return _exhaustive_one_query(
+            term_blocks, term_df, k, n_docs, avgdl, require_all=require_all
+        )
+    return (or_kernel or _score_one_query)(
+        term_blocks, term_df, k, n_docs, avgdl
+    )
+
+
 def bm25_wand(
     spark: SparkSession,
     paths: IndexPaths,
@@ -508,30 +542,31 @@ def bm25_wand(
         .collect()
     }
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    # positions are the largest per-posting payload — read/ship them only
+    # when the batch actually contains a PHRASE query (column pruning
+    # reaches the parquet scan)
+    cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
     blocks = (
         spark.read.parquet(paths.postings)
         .filter(F.col("pbucket").isin(buckets))     # directory-level pruning
         .filter(F.col("term").isin(terms))          # row-group pruning
         .join(F.broadcast(qt), "term")
+        .select("query_id", *cols)
     )
+
+    n_query_terms = {
+        qid: len({r["term"] for r in qt_rows if r["query_id"] == qid})
+        for qid in ks
+    }
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         term_blocks = {t: g for t, g in pdf.groupby("term")}
-        mode = modes.get(qid, "OR")
-        if mode == "PHRASE":
-            rows = _phrase_one_query(
-                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
-                phrases[qid],
-            )
-        elif mode == "AND":
-            rows = _exhaustive_one_query(
-                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
-                require_all=len({r["term"] for r in qt_rows if r["query_id"] == qid}),
-            )
-        else:
-            kernel = _wand_one_query if force_wand else _score_one_query
-            rows = kernel(term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl)
+        rows = _dispatch_query(
+            term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+            modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
+            or_kernel=_wand_one_query if force_wand else _score_one_query,
+        )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
             columns=["query_id", "rank", "doc_id", "score"],
@@ -725,6 +760,7 @@ def bm25_wand_segments(
     n_docs, avgdl, term_df = _segment_global_stats(spark, segments, terms, buckets)
 
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
     blocks = None
     for i, seg in enumerate(segments):
         b = (
@@ -732,40 +768,44 @@ def bm25_wand_segments(
             .filter(F.col("pbucket").isin(buckets))
             .filter(F.col("term").isin(terms))
             .join(F.broadcast(qt), "term")
+            .select("query_id", *cols)
             .withColumn("seg", F.lit(i))
         )
         blocks = b if blocks is None else blocks.unionByName(b)
 
     def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        seg = int(pdf["seg"].iloc[0])
         term_blocks = {t: g for t, g in pdf.groupby("term")}
-        mode = modes.get(qid, "OR")
-        if mode == "PHRASE":
-            rows = _phrase_one_query(
-                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
-                phrases[qid],
-            )
-        elif mode == "AND":
-            rows = _exhaustive_one_query(
-                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
-                require_all=n_query_terms[qid],
-            )
-        else:
-            rows = _score_one_query(
-                term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl
-            )
+        rows = _dispatch_query(
+            term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+            modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
+        )
         return pd.DataFrame(
-            [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
-            columns=["query_id", "rank", "doc_id", "score"],
-        ).astype({"query_id": "int32", "rank": "int32", "doc_id": "int64", "score": "float64"})
+            [{"query_id": qid, "rank": r, "doc_id": d, "score": s, "seg": seg}
+             for r, d, s in rows],
+            columns=["query_id", "rank", "doc_id", "score", "seg"],
+        ).astype({"query_id": "int32", "rank": "int32", "doc_id": "int64",
+                  "score": "float64", "seg": "int32"})
 
-    partial = blocks.groupBy("query_id", "seg").applyInPandas(run_partial, RESULT_SCHEMA)
+    partial = blocks.groupBy("query_id", "seg").applyInPandas(
+        run_partial, RESULT_SCHEMA + ", seg int"
+    )
+    # first-wins doc dedupe: a doc re-ingested into a newer segment before
+    # compaction would otherwise appear once per segment in the top-k; keep
+    # the lowest segment's row — the same first-wins rule merge.py applies
+    # when compaction dedupes the postings.  (Until that compaction, its
+    # duplicate still inflates n_docs/df slightly — the standard LSM-search
+    # approximation, resolved by the next merge.)
+    w_dedup = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("seg"))
     ksdf = spark.createDataFrame(
         [(qid, k) for qid, k in ks.items()], "query_id int, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("first_seg", F.row_number().over(w_dedup))
+        .filter(F.col("first_seg") == 1)
+        .withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(ksdf), "query_id")
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")

@@ -37,9 +37,13 @@ from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index.build import N_PBUCKETS, IndexPaths
 from horus_ner_spark.index.query import _score_one_query
 
+# columns the OR/AND kernels need; the LRU caches exactly these.  pos_vb
+# (the largest per-posting payload) is fetched only for PHRASE queries,
+# uncached, so position streams never double the cache footprint or ride
+# along on plain top-k lookups.
 _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
-    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb", "pos_vb",
+    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
 ]
 
 
@@ -108,19 +112,7 @@ class IndexServer:
             else:
                 misses.append(t)
         if misses:
-            buckets = sorted({term_bucket(t, self.n_pbuckets) for t in misses})
-            flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(misses)
-            dfs: dict[str, int] = {}
-            for ts in self._term_stats:  # df sums across disjoint segments
-                for r in ts.to_table(columns=["term", "df"], filter=flt).to_pylist():
-                    dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
-            blocks = pd.concat(
-                [
-                    p.to_table(columns=_BLOCK_COLS, filter=flt).to_pandas()
-                    for p in self._postings
-                ],
-                ignore_index=True,
-            )
+            dfs, blocks = self._fetch(misses, _BLOCK_COLS)
             for t in misses:
                 if t in dfs:
                     entry = (dfs[t], blocks[blocks["term"] == t])
@@ -132,6 +124,22 @@ class IndexServer:
                     self._cache.popitem(last=False)
         return out
 
+    def _fetch(self, terms: list[str], cols: list[str]):
+        """Pruned, uncached storage read of ``cols`` for ``terms`` across
+        all segments -> (term->df sums, block frame tagged with seg)."""
+        buckets = sorted({term_bucket(t, self.n_pbuckets) for t in terms})
+        flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(terms)
+        dfs: dict[str, int] = {}
+        for ts in self._term_stats:  # df sums across disjoint segments
+            for r in ts.to_table(columns=["term", "df"], filter=flt).to_pylist():
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        frames = []
+        for si, p in enumerate(self._postings):
+            f = p.to_table(columns=cols, filter=flt).to_pandas()
+            f["seg"] = si  # segment id: multi-segment scoring + dedupe
+            frames.append(f)
+        return dfs, pd.concat(frames, ignore_index=True)
+
     def search(self, query_text: str, lang: str = "python", k: int = 10,
                mode: str = "OR") -> pd.DataFrame:
         """Top-k for one query -> (rank, doc_id, score).
@@ -142,20 +150,25 @@ class IndexServer:
         requires the query's token sequence to appear contiguously
         (positional index)."""
         terms = sorted(set(tokenize(query_text, lang)))
-        loaded = self._load_terms(terms)
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         if mode.upper() == "PHRASE":
-            if len(loaded) < len(terms):
+            if not terms:
+                return empty
+            # positions bypass the LRU (see _BLOCK_COLS note)
+            dfs, blocks = self._fetch(terms, _BLOCK_COLS + ["pos_vb"])
+            if len(dfs) < len(terms):
                 return empty
             from horus_ner_spark.index.query import _phrase_one_query
 
             rows = _phrase_one_query(
-                {t: b for t, (_df, b) in loaded.items()},
-                {t: df for t, (df, _b) in loaded.items()},
+                {t: blocks[blocks["term"] == t] for t in terms},
+                dfs,
                 k, self.n_docs, self.avgdl,
                 tokenize(query_text, lang),
             )
-        elif mode.upper() == "AND":
+            return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+        loaded = self._load_terms(terms)
+        if mode.upper() == "AND":
             if len(loaded) < len(terms):
                 return empty  # some term has no postings at all
             from horus_ner_spark.index.query import _exhaustive_one_query
@@ -178,11 +191,29 @@ class IndexServer:
             return _score_one_query(
                 term_blocks, term_df, k, self.n_docs, self.avgdl
             )
+        # multi-segment: score each segment independently with global stats
+        # (a doc's postings live in its home segment), then merge with
+        # first-wins doc dedupe — the rule merge.py applies at compaction —
+        # so a doc re-ingested into a newer segment never serves twice
         from horus_ner_spark.index.query import _exhaustive_one_query
 
-        return _exhaustive_one_query(
-            term_blocks, term_df, k, self.n_docs, self.avgdl
+        best: dict[int, tuple[float, int]] = {}  # doc -> (score, seg)
+        segs = sorted(
+            {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
         )
+        for si in segs:
+            sub = {
+                t: b[b["seg"] == si]
+                for t, b in term_blocks.items()
+                if (b["seg"] == si).any()
+            }
+            for _r, d, s in _exhaustive_one_query(
+                sub, term_df, k, self.n_docs, self.avgdl
+            ):
+                if d not in best or best[d][1] > si:
+                    best[d] = (s, si)
+        ranked = sorted(best.items(), key=lambda e: (-e[1][0], e[0]))[:k]
+        return [(r + 1, d, s) for r, (d, (s, _si)) in enumerate(ranked)]
 
     def search_batch(self, queries: list[dict]) -> pd.DataFrame:
         """Many queries -> (query_id, rank, doc_id, score); one storage read

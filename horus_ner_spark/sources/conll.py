@@ -44,16 +44,21 @@ def read_conll(
     Blank (whitespace-only) lines separate sentences; ``skip_prefix`` lines
     are dropped (reference: util.py:826-835).
     """
+    # window keys use the FULL path: two files with the same basename in
+    # different subdirectories must never share a window (their per-file
+    # line_ids would tie on every row and interleave arbitrarily); the
+    # output's `file` column stays the basename for display/grouping
     lines = (
         spark.read.option("wholetext", True).text(path)
         .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.input_file_name().alias("file_path"),
             F.posexplode(F.split(F.col("value"), "\r?\n")).alias(
                 "line_id", "line"
             ),
         )
+        .withColumn("file", F.element_at(F.split("file_path", "/"), -1))
     )
-    wf = Window.partitionBy("file").orderBy("line_id")
+    wf = Window.partitionBy("file_path").orderBy("line_id")
     marked = lines.withColumn(
         "is_blank", F.trim(F.col("line")) == ""
     ).withColumn(
@@ -70,11 +75,12 @@ def read_conll(
         .withColumn(
             "word_idx",
             F.row_number().over(
-                Window.partitionBy("file", "sent_id").orderBy("line_id")
+                Window.partitionBy("file_path", "sent_id").orderBy("line_id")
             ) - 1,
         )
     )
     out = toks.select(
+        "file_path",
         "file",
         "sent_id",
         "word_idx",
@@ -83,12 +89,14 @@ def read_conll(
     )
     # blank-run collapse: renumber sent_ids densely per file (consecutive
     # blank lines or leading blanks would otherwise leave gaps)
-    dense = out.select("file", "sent_id").distinct().withColumn(
+    dense = out.select("file_path", "sent_id").distinct().withColumn(
         "dense_sent_id",
-        F.row_number().over(Window.partitionBy("file").orderBy("sent_id")) - 1,
+        F.row_number().over(
+            Window.partitionBy("file_path").orderBy("sent_id")
+        ) - 1,
     )
     return (
-        out.join(dense, ["file", "sent_id"])
+        out.join(dense, ["file_path", "sent_id"])
         .select(
             "file",
             F.col("dense_sent_id").alias("sent_id"),

@@ -81,6 +81,17 @@ def active_units(index_root: str) -> list[tuple[int, str]]:
     ]
 
 
+def _unit_age_key(path: str) -> tuple:
+    """Oldest-first ordering for the merge policy.  Segment units order by
+    their NUMERIC batch id (plain lexicographic sort put seg_10 before
+    seg_2, mixing the newest segment into the oldest merge and breaking
+    the O(total·log_fanout) bound); tiers order by name."""
+    base = os.path.basename(os.path.dirname(path))  # seg_<N>/ix -> seg_<N>
+    if base.startswith("seg_"):
+        return (0, int(base[4:]), "")
+    return (1, 0, os.path.basename(path))
+
+
 def compact_tiers(
     spark: SparkSession, index_root: str, fanout: int = DEFAULT_FANOUT
 ) -> int:
@@ -100,7 +111,7 @@ def compact_tiers(
         for lvl, p in active_units(index_root):
             by_level.setdefault(lvl, []).append(p)
         todo = [
-            (lvl, sorted(paths)[:fanout])
+            (lvl, sorted(paths, key=_unit_age_key)[:fanout])
             for lvl, paths in sorted(by_level.items())
             if len(paths) >= fanout
         ]

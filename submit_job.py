@@ -76,6 +76,7 @@ def main() -> None:
             [{"query_id": 0, "query_text": args.query, "lang": args.lang,
               "k": args.k, "mode": args.mode}],
         )
+        res = rdf.collect()  # single execution; export re-uses the rows
         if args.export:
             if not args.out:
                 p.error("--export requires --out")
@@ -84,11 +85,11 @@ def main() -> None:
                 write_json_export,
             )
 
+            out_df = spark.createDataFrame(res, rdf.schema)
             if args.export == "csv":
-                write_csv_export(rdf, args.out)
+                write_csv_export(out_df, args.out)
             else:
-                write_json_export(rdf, args.out)
-        res = rdf.collect()
+                write_json_export(out_df, args.out)
         for r in res:
             print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
         print(json.dumps({

@@ -109,3 +109,22 @@ def test_large_file_many_partitions_order(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert rows == [(i, f"tok{i}") for i in range(n)]
+
+
+def test_same_basename_in_subdirs_do_not_interleave(spark, tmp_path):
+    """Regression: per-file windows must key on the FULL path — two files
+    named train.txt in different subdirectories previously shared one
+    window with tied line_ids and interleaved arbitrarily."""
+    (tmp_path / "en").mkdir()
+    (tmp_path / "de").mkdir()
+    (tmp_path / "en" / "train.txt").write_text("en1 O\nen2 O\n\nen3 B-x\n")
+    (tmp_path / "de" / "train.txt").write_text("de1 O\n\nde2 O\nde3 O\n")
+    df = read_conll(spark, str(tmp_path / "*" / "train.txt"),
+                    token_index=0, ner_index=1)
+    rows = sorted(
+        (r["token"], r["sent_id"], r["word_idx"]) for r in df.collect()
+    )
+    assert rows == [
+        ("de1", 0, 0), ("de2", 1, 0), ("de3", 1, 1),
+        ("en1", 0, 0), ("en2", 0, 1), ("en3", 1, 0),
+    ]

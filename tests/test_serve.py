@@ -103,3 +103,59 @@ def test_multi_segment_serving_equals_merged(spark, tmp_path):
     pa_ = multi.search("parse_config", lang="python", k=5, mode="PHRASE")
     pb = single.search("parse_config", lang="python", k=5, mode="PHRASE")
     assert pa_.values.tolist() == pb.values.tolist()
+
+
+def test_phrase_empty_query_returns_empty(spark, sf001_index):
+    """Regression: a phrase that tokenizes to zero terms (stoplisted /
+    punctuation / 1-char tokens) must return empty, not crash."""
+    _corpus_path, paths = sf001_index
+    srv = IndexServer(paths.root)
+    for q in ("+++", "x y", "def return import", ""):
+        res = srv.search(q, "python", k=5, mode="PHRASE")
+        assert len(res) == 0, q
+
+
+def test_duplicate_doc_across_segments_served_once(spark, tmp_path):
+    """Regression: a doc re-ingested into a second segment before
+    compaction must not appear twice in multi-segment top-k (first-wins
+    dedupe, matching merge.py's compaction rule) — on both the
+    distributed segment path and the multi-segment server."""
+    import pandas as pd
+
+    from horus_ner_spark.index.build import IndexPaths, build_index
+    from horus_ner_spark.index.query import bm25_wand_segments
+
+    base = pd.DataFrame(
+        {
+            "repo": ["r"] * 4,
+            "path": [f"f{i}" for i in range(4)],
+            "commit": ["c"] * 4,
+            "lang": ["en"] * 4,
+            "content": [
+                "alpha beta gamma",
+                "alpha delta",
+                "beta gamma delta",
+                "epsilon zeta",
+            ],
+        }
+    )
+    seg_a = base.iloc[:3]
+    seg_b = pd.concat([base.iloc[1:2], base.iloc[3:4]])  # f1 duplicated
+    segs = []
+    for name, part in (("a", seg_a), ("b", seg_b)):
+        cp = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(part).write.parquet(cp)
+        segs.append(build_index(spark, cp, str(tmp_path / f"ix_{name}")))
+
+    res = bm25_wand_segments(
+        spark, segs,
+        [{"query_id": 1, "query_text": "alpha delta", "lang": "en", "k": 10}],
+    ).collect()
+    docs = [r["doc_id"] for r in res]
+    assert len(docs) == len(set(docs)), f"doc served twice: {docs}"
+    ranks = [r["rank"] for r in res]
+    assert ranks == list(range(1, len(ranks) + 1))
+
+    srv = IndexServer([s.root for s in segs])
+    out = srv.search("alpha delta", "en", k=10)
+    assert out["doc_id"].is_unique

@@ -158,3 +158,16 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect())
     assert got == expected and len(got) > 0
+
+
+def test_unit_age_key_orders_numerically():
+    """Regression: seg_10 must compact AFTER seg_2 (numeric batch order,
+    not lexicographic)."""
+    from horus_ner_spark.streaming.incremental import _unit_age_key
+
+    paths = [f"/ix/seg_{i}/ix" for i in (0, 2, 10, 11, 3)]
+    ordered = sorted(paths, key=_unit_age_key)
+    assert ordered == [f"/ix/seg_{i}/ix" for i in (0, 2, 3, 10, 11)]
+    tiers = ["/ix/tiers/L1_aa", "/ix/tiers/L1_bb"]
+    assert sorted(tiers, key=_unit_age_key) == tiers
+    assert _unit_age_key(paths[0]) < _unit_age_key(tiers[0])
