@@ -361,8 +361,16 @@ def _tokenize_tf_batches(batches):
             pa.array(uniq, type=pa.string()),
         ).cast(pa.string())
         # pa.binary() carries int32 offsets; a batch's pos stream is bounded
-        # by ~2 bytes/token * maxRecordsPerBatch docs * tokens/doc << 2 GiB
-        assert len(stream) < (1 << 31), "pos stream exceeds int32 offsets"
+        # by ~2 bytes/token * maxRecordsPerBatch docs * tokens/doc << 2 GiB.
+        # A hard raise, not an assert: under ``python -O`` an assert would
+        # vanish and an oversized batch would silently wrap the offsets and
+        # corrupt the index (round-2 advice).
+        if len(stream) >= (1 << 31):
+            raise ValueError(
+                f"position stream of one Arrow batch is {len(stream)} bytes, "
+                "exceeding int32 binary offsets — lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
         pos_col = pa.Array.from_buffers(
             pa.binary(),
             len(starts),

@@ -7,20 +7,38 @@ independently (build.py), then merged.  Reference analog: the memoized
 term cache growing monotonically across runs via INSERT-if-absent
 (reference: src/core/util/sqlite_helper.py:42-48).
 
-Why merging is cheap here: blocks are self-contained (codec.py) and carry
-doc_ids, tfs, AND doclens, so merging segment postings for a term is
-decode -> k-way sorted concat -> re-block -> re-encode, entirely inside one
-``(term, range_bucket)`` group — no global pass.  The only non-local input
-is the merged ``avgdl`` (a scalar broadcast into the kernel closure):
-``block_max_tfnorm`` is idf-free by design, so no per-term df join is
-needed even though df changes on merge — idf is applied at query time from
-the recomputed term_stats table.
+Scale shape (round-3 rework of the round-2 single-group-per-term merge):
+
+- **Re-blocking is keyed (term, range_bucket), not (term).**  The build
+  salts hot terms across 2^RANGE_BITS doc_id-range groups precisely so no
+  single task ever owns a Zipf-head term's full posting list
+  (build.py:27-36); the merge preserves that property.  Hot-built input
+  blocks already carry their true rb; cold-built blocks of a term whose
+  MERGED df crosses the split threshold are split into per-rb fragments by
+  a narrow (shuffle-free) normalization pass first, so the one shuffle of
+  the merge groups by (term, rb) and the hottest term's merge cost is
+  bounded by its largest rb range (~df / 2^RANGE_BITS), in parallel tasks.
+- **No tf shuffle.**  The merged term_stats (df, cf) are derived from the
+  merged posting blocks themselves — df is a metadata sum of n_postings,
+  cf a cheap varbyte sum of each block's tfs — instead of unioning +
+  de-duplicating every segment's full tf table per compaction (the
+  round-2 contract dragged O(total postings) through a shuffle per merge).
+  The uncompressed tf table exists for the brute-force oracle path only;
+  pass ``merge_tf=True`` to carry it (oracle/test builds), never in the
+  compaction loop.
 
 Canonical-form guarantee (what makes merge idempotent & associative): the
-output blocks for a (term, rb) group are a pure function of the SET of
-postings in the group — sort by doc_id, dedupe (first wins), chunk at
-block_size.  Hence merge(merge(a,b),c) == merge(a,b,c) == merge(a,merge(b,c)),
-asserted in tests/test_merge.py.
+output blocks for a term are a pure function of the SET of postings —
+dedupe doc_ids (first segment in ``segments`` order wins, matching the
+serving-side rule in query.bm25_wand_segments / IndexServer), sort by
+doc_id, split by rb iff the DEDUPED merged df exceeds the split threshold
+(exactly the build's hot-term rule), chunk at block_size within each run.
+Hence merge(merge(a,b),c) == merge(a,b,c) == merge(a,merge(b,c)) == the
+single-shot build of the union corpus, asserted in tests/test_merge.py.
+The hot/cold decision uses the deduped df: when segments share no doc_ids
+(the common case — ingest dedupes, see streaming/incremental.py) the
+metadata sum of n_postings IS the deduped df; when they overlap, an exact
+distinct-doc count runs for the handful of threshold-straddling terms.
 """
 
 from __future__ import annotations
@@ -29,12 +47,12 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark import catalog
-from horus_ner_spark.index import bm25
 from horus_ner_spark.index.build import (
     _BLOCK_COLS,
     BLOCK_SIZE,
@@ -47,26 +65,104 @@ from horus_ner_spark.index.build import (
 )
 from horus_ner_spark.index.codec import decode_block, vb_decode
 
+# intermediate schema: input blocks / split fragments tagged with their
+# source segment index (first-wins dedupe key)
+_TAGGED_SCHEMA = POSTINGS_SCHEMA + ", seg int"
+_TAGGED_COLS = _BLOCK_COLS + ["seg"]
 
-def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
-                     split_threshold: int):
-    """Per-term re-blocker replicating the build's canonical chunking: the
-    merged posting run is split by rb (doc_id high bits) iff the MERGED df
-    exceeds the split threshold — exactly the build's hot-term rule, with
-    df == posting count by definition, so no term_stats join is needed."""
+
+def _split_factory(avgdl: float, block_size: int, range_bits: int):
+    """Narrow (per-partition, shuffle-free) normalization pass: every block
+    of a maybe-hot term leaves keyed by its TRUE doc_id range bucket.
+
+    - hot-built blocks (rb > 0, or rb == 0 with all doc_ids in range 0)
+      pass through untouched — min/max metadata proves single-range, so
+      the common case never decodes;
+    - cold-built blocks of a maybe-hot term that span ranges are decoded
+      and split into per-rb fragment blocks (positions move as verbatim
+      byte slices; only doc-id deltas re-encode);
+    - blocks of cold terms pass through with rb = 0.
+    """
+    shift = 64 - range_bits
+
+    def split(batches):
+        from horus_ner_spark.index.codec import pos_slice_offsets
+
+        for pdf in batches:
+            mh = pdf["maybe_hot"].to_numpy()
+            rb_lo = (pdf["min_doc_id"].to_numpy(np.int64) >> shift).astype(np.int64)
+            rb_hi = (pdf["max_doc_id"].to_numpy(np.int64) >> shift).astype(np.int64)
+            span = mh & (rb_lo != rb_hi)
+            keep = pdf.loc[~span, _TAGGED_COLS].copy()
+            if len(keep):
+                keep["rb"] = np.where(
+                    mh[~span], rb_lo[~span], np.int64(0)
+                ).astype(np.int32)
+            frames = [keep] if len(keep) else []
+            if span.any():
+                frag_rows: list[dict] = []
+                for row in pdf.loc[span].itertuples(index=False):
+                    d, t = decode_block(bytes(row.doc_ids_vb), bytes(row.tfs_vb))
+                    dl = vb_decode(bytes(row.doclens_vb)).view(np.int64)
+                    pvb = bytes(row.pos_vb)
+                    off = pos_slice_offsets(pvb, t)
+                    rbs = d >> np.int64(shift)
+                    change = np.flatnonzero(rbs[1:] != rbs[:-1]) + 1
+                    starts = np.concatenate(([0], change))
+                    ends = np.concatenate((change, [len(d)]))
+                    for s, e in zip(starts, ends):
+                        for r in encode_run(
+                            row.term, int(rbs[s]), d[s:e], t[s:e], dl[s:e],
+                            pvb, off[s : e + 1], avgdl, block_size,
+                        ):
+                            r["seg"] = row.seg
+                            frag_rows.append(r)
+                frames.append(pd.DataFrame(frag_rows, columns=_TAGGED_COLS))
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pdf.iloc[0:0][_TAGGED_COLS]
+            )
+
+    return split
+
+
+def _distinct_df(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(term, rb) DEDUPED posting count — decodes doc_ids only (the
+    cheap stream); runs only for threshold-straddling terms of overlapping
+    segments (the exactness path of the hot/cold decision)."""
+    docs = np.unique(
+        np.concatenate(
+            [decode_block(bytes(d), bytes(t))[0]
+             for d, t in zip(pdf["doc_ids_vb"], pdf["tfs_vb"])]
+        )
+    )
+    return pd.DataFrame(
+        {"term": [pdf["term"].iloc[0]], "df": [np.int64(len(docs))]}
+    )
+
+
+def _reblock_factory(avgdl: float, block_size: int):
+    """Canonical re-blocker for ONE (term, rb) group: k-way sorted concat,
+    first-wins dedupe by (doc_id, seg), chunk at block_size.  Identical
+    output to the build's encoder for the same posting set — block_ids are
+    (term, rb)-local in both (layout v4)."""
 
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         from horus_ner_spark.index.codec import pos_slice_offsets
 
         term = pdf["term"].iloc[0]
-        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for dvb, tvb, lvb, pvb in zip(
-            pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["doclens_vb"], pdf["pos_vb"]
+        rb = int(pdf["rb"].iloc[0])
+        docs_l, tfs_l, dls_l, pos_l, seg_l = [], [], [], [], []
+        for dvb, tvb, lvb, pvb, seg in zip(
+            pdf["doc_ids_vb"], pdf["tfs_vb"], pdf["doclens_vb"],
+            pdf["pos_vb"], pdf["seg"],
         ):
             d, t = decode_block(bytes(dvb), bytes(tvb))
             docs_l.append(d)
             tfs_l.append(t)
             dls_l.append(vb_decode(bytes(lvb)).view(np.int64))
+            seg_l.append(np.full(len(d), seg, dtype=np.int32))
             # positions move as verbatim per-posting byte slices — the
             # sub-streams are self-contained (codec.py), so merge never
             # re-encodes a position
@@ -76,11 +172,15 @@ def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
+        segs = np.concatenate(seg_l)
         pos = np.empty(len(docs), dtype=object)
         pos[:] = pos_l
-        order = np.argsort(docs, kind="mergesort")
+        # sort by (doc_id, seg): the first-wins winner of each dup run is
+        # the copy from the OLDEST segment — deterministic, and the same
+        # rule multi-segment serving applies (query.py/serve.py)
+        order = np.lexsort((segs, docs))
         docs, tfs, dls, pos = docs[order], tfs[order], dls[order], pos[order]
-        if len(docs) > 1:  # dedupe identical doc_ids (overlapping segments)
+        if len(docs) > 1:
             keep = np.empty(len(docs), dtype=bool)
             keep[0] = True
             keep[1:] = docs[1:] != docs[:-1]
@@ -88,23 +188,27 @@ def _reblock_factory(avgdl: float, block_size: int, range_bits: int,
         pos_buf = b"".join(pos)
         pos_off = np.zeros(len(docs) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in pos], out=pos_off[1:])
-        rows: list[dict] = []
-        if len(docs) > split_threshold:  # hot: chunk within each rb range
-            rbs = docs >> np.int64(64 - range_bits)
-            change = np.flatnonzero(rbs[1:] != rbs[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(docs)]))
-            for s, e in zip(starts, ends):
-                rows.extend(
-                    encode_run(term, int(rbs[s]), docs[s:e], tfs[s:e], dls[s:e],
-                               pos_buf, pos_off[s : e + 1], avgdl, block_size)
-                )
-        else:
-            rows = encode_run(term, 0, docs, tfs, dls, pos_buf, pos_off,
-                              avgdl, block_size)
+        rows = encode_run(term, rb, docs, tfs, dls, pos_buf, pos_off,
+                          avgdl, block_size)
         return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return reblock
+
+
+def _first_wins_union(
+    spark: SparkSession, refs: list[str], key_cols: list[str]
+) -> DataFrame:
+    """Union ``refs`` keeping, per key, the row from the EARLIEST ref."""
+    df = None
+    for i, ref in enumerate(refs):
+        part = catalog.read_table(spark, ref).withColumn("_seg", F.lit(i))
+        df = part if df is None else df.unionByName(part)
+    w = Window.partitionBy(*key_cols).orderBy("_seg")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seg")
+    )
 
 
 def merge_indexes(
@@ -115,8 +219,15 @@ def merge_indexes(
     range_bits: int = RANGE_BITS,
     n_pbuckets: int = N_PBUCKETS,
     split_threshold: int = SPLIT_THRESHOLD,
+    merge_tf: bool = False,
 ) -> IndexPaths:
-    """Merge N built index segments into a canonical combined index."""
+    """Merge N built index segments into a canonical combined index.
+
+    ``merge_tf`` carries the uncompressed tf table into the output (needed
+    only by the brute-force oracle path, query.bm25_bruteforce); the
+    compaction loop leaves it False so no merge ever shuffles raw postings
+    beyond the one (term, rb) block re-grouping.
+    """
     from horus_ner_spark.session import ensure_package_on_executors
 
     catalog.require_path_refs("merge_indexes")  # segment refs are paths
@@ -124,21 +235,27 @@ def merge_indexes(
     out = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # docs / doclens: plain unions (dedupe by doc_id, first wins)
-    docs = None
-    doclens = None
-    for seg in segments:
-        d = catalog.read_table(spark, seg.docs)
-        dl = catalog.read_table(spark, seg.doclens)
-        docs = d if docs is None else docs.unionByName(d)
-        doclens = dl if doclens is None else doclens.unionByName(dl)
-    docs = docs.dropDuplicates(["doc_id"])
-    doclens = doclens.dropDuplicates(["doc_id"])
-    catalog.write_table(docs, out.docs)
-    catalog.write_table(doclens, out.doclens)
+    # docs / doclens: first-wins union (oldest segment wins — deterministic,
+    # aligned with the posting dedupe below and the serving-side rule)
+    catalog.write_table(
+        _first_wins_union(spark, [s.docs for s in segments], ["doc_id"]),
+        out.docs,
+    )
+    catalog.write_table(
+        _first_wins_union(spark, [s.doclens for s in segments], ["doc_id"]),
+        out.doclens,
+    )
 
-    # merged corpus stats
+    # merged corpus stats; also detect doc-id overlap between segments —
+    # when there is none (the common case; ingest dedupes), the metadata
+    # n_postings sum below IS the exact merged df for every term
     n_docs = catalog.read_table(spark, out.docs).count()
+    seg_doc_sum = 0
+    for seg in segments:
+        seg_doc_sum += int(
+            catalog.read_table(spark, seg.corpus_stats).collect()[0]["n_docs"]
+        )
+    overlap = seg_doc_sum != n_docs
     total_len = catalog.read_table(spark, out.doclens).agg(
         F.sum("doclen").alias("t")
     ).collect()[0]["t"] or 0
@@ -151,36 +268,60 @@ def merge_indexes(
         out.corpus_stats,
     )
 
-    # merged tf (kept for the brute-force oracle path) + term stats
-    tf = None
-    for seg in segments:
-        t = catalog.read_table(spark, seg.tf)
-        tf = t if tf is None else tf.unionByName(t)
-    tf = tf.dropDuplicates(["doc_id", "term"])
-    catalog.write_table(tf, out.tf)
-    tf = catalog.read_table(spark, out.tf)
-    catalog.write_table(
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
-        .repartition(n_pbuckets, "pbucket")
-        .sortWithinPartitions("term"),
-        out.term_stats,
-        partition_by=("pbucket",),
-    )
-
-    # sort-merge the posting blocks per term — join-free: the merged avgdl
-    # scalar is the only corpus-level input to re-blocking, and the hot/cold
-    # chunking decision is local (df == merged posting count).  Merge-side
-    # skew is bounded by the hottest term's postings in one task; at true
-    # 10^12 scale, raise range_bits/lower block granularity or merge per rb
-    # once all segments are hot-built (blocks then never span rb bounds).
+    # tagged union of every segment's posting blocks
     blocks = None
-    for seg in segments:
-        b = catalog.read_table(spark, seg.postings).drop("pbucket")
+    for i, seg in enumerate(segments):
+        b = (
+            catalog.read_table(spark, seg.postings)
+            .drop("pbucket")
+            .withColumn("seg", F.lit(i))
+        )
         blocks = b if blocks is None else blocks.unionByName(b)
-    reblock = _reblock_factory(avgdl, block_size, range_bits, split_threshold)
-    merged = blocks.groupBy("term").applyInPandas(reblock, POSTINGS_SCHEMA)
+
+    # hot/cold decision, phase 1 — metadata only (column-pruned scan):
+    # summed n_postings is an upper bound on the merged df, exact when
+    # segments are doc-disjoint
+    maybe_hot = (
+        blocks.groupBy("term")
+        .agg(F.sum("n_postings").alias("ub"))
+        .filter(F.col("ub") > split_threshold)
+        .select("term", F.lit(True).alias("maybe_hot"))
+    )
+    tagged = (
+        blocks.join(F.broadcast(maybe_hot), "term", "left")
+        .withColumn("maybe_hot", F.coalesce("maybe_hot", F.lit(False)))
+    )
+    split = _split_factory(avgdl, block_size, range_bits)
+    normalized = tagged.mapInPandas(split, _TAGGED_SCHEMA)
+
+    demoted: list[str] = []
+    if overlap:
+        # phase 2 (overlapping segments only): exact deduped df for the
+        # maybe-hot terms; any that fall back under the threshold after
+        # dedupe are re-keyed to a single cold run (canonical form)
+        normalized = normalized.persist()
+        exact = (
+            normalized.join(F.broadcast(maybe_hot.select("term")), "term")
+            .groupBy("term", "rb")
+            .applyInPandas(_distinct_df, "term string, df long")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") <= split_threshold)
+            .collect()
+        )
+        demoted = [r["term"] for r in exact]
+    if demoted:
+        normalized = normalized.withColumn(
+            "rb",
+            F.when(F.col("term").isin(demoted), F.lit(0)).otherwise(F.col("rb")),
+        )
+
+    # the ONE shuffle of the merge: canonical re-block per (term, rb) —
+    # a Zipf-head term merges in up to 2^range_bits parallel tasks
+    reblock = _reblock_factory(avgdl, block_size)
+    merged = normalized.groupBy("term", "rb").applyInPandas(
+        reblock, POSTINGS_SCHEMA
+    )
     catalog.write_table(
         merged.withColumn("pbucket", term_bucket_col("term", n_pbuckets))
         .repartition(n_pbuckets, "pbucket")
@@ -188,4 +329,41 @@ def merge_indexes(
         out.postings,
         partition_by=("pbucket",),
     )
+    if overlap:
+        normalized.unpersist()
+
+    # term stats FROM the merged blocks: df is pure footer metadata
+    # (n_postings sums), cf a varbyte sum of each block's tfs — no tf union
+    def _block_stats(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "df_p": pdf["n_postings"].astype("int64"),
+                    "cf_p": [
+                        int(vb_decode(bytes(b)).sum()) for b in pdf["tfs_vb"]
+                    ],
+                }
+            )
+
+    catalog.write_table(
+        catalog.read_table(spark, out.postings)
+        .select("term", "n_postings", "tfs_vb")
+        .mapInPandas(_block_stats, "term string, df_p long, cf_p long")
+        .groupBy("term")
+        .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
+        .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
+        .repartition(n_pbuckets, "pbucket")
+        .sortWithinPartitions("term"),
+        out.term_stats,
+        partition_by=("pbucket",),
+    )
+
+    if merge_tf:  # oracle/test builds only — never the compaction loop
+        catalog.write_table(
+            _first_wins_union(
+                spark, [s.tf for s in segments], ["doc_id", "term"]
+            ),
+            out.tf,
+        )
     return out

@@ -220,6 +220,18 @@ _EPS = 1e-6
 _EXHAUSTIVE_MAX_POSTINGS = 4_000_000
 
 
+def _in_sorted(sorted_arr: np.ndarray, values) -> np.ndarray | bool:
+    """Membership of ``values`` (array or scalar) in a SORTED int64 array —
+    searchsorted, no per-call sort (the hot-loop trick from the phrase
+    kernel)."""
+    if len(sorted_arr) == 0:
+        return (
+            False if np.isscalar(values) else np.zeros(len(values), dtype=bool)
+        )
+    idx = np.minimum(np.searchsorted(sorted_arr, values), len(sorted_arr) - 1)
+    return sorted_arr[idx] == values
+
+
 def _exhaustive_one_query(
     term_blocks: dict[str, pd.DataFrame],
     term_df: dict[str, int],
@@ -227,6 +239,8 @@ def _exhaustive_one_query(
     n_docs: int,
     avgdl: float,
     require_all: int = 0,
+    exclude: np.ndarray | None = None,
+    doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, float]]:
     """Decode-all vectorized BM25 — same quantize-then-rank contract as WAND
     (terms processed in sorted order; per-doc contributions accumulate in
@@ -234,7 +248,14 @@ def _exhaustive_one_query(
 
     ``require_all=n`` enables conjunctive (AND) semantics: only documents
     matched by exactly n query terms rank (each term contributes at most
-    one posting per doc, so contribution count == matched-term count)."""
+    one posting per doc, so contribution count == matched-term count).
+
+    ``exclude`` (sorted int64) drops documents before scoring — the
+    multi-segment serving path's stale-duplicate filter (a doc re-ingested
+    into a newer segment serves only from its home segment, so it can never
+    occupy a top-k slot it wouldn't hold in the compacted index).
+    ``doc_range=(lo, hi)`` keeps only docs in the inclusive id range — the
+    distributed conjunctive path's range-bucket partition filter."""
     docs_l: list[np.ndarray] = []
     scores_l: list[np.ndarray] = []
     for t in sorted(term_blocks):
@@ -254,6 +275,14 @@ def _exhaustive_one_query(
         return []
     docs = np.concatenate(docs_l)
     scores = np.concatenate(scores_l)
+    if doc_range is not None:
+        m = (docs >= doc_range[0]) & (docs <= doc_range[1])
+        docs, scores = docs[m], scores[m]
+    if exclude is not None and len(exclude):
+        m = ~_in_sorted(exclude, docs)
+        docs, scores = docs[m], scores[m]
+    if not len(docs):
+        return []
     order = np.argsort(docs, kind="stable")  # stable keeps term-sorted order
     docs, scores = docs[order], scores[order]
     starts = np.concatenate(
@@ -276,6 +305,8 @@ def _phrase_one_query(
     n_docs: int,
     avgdl: float,
     phrase: list[str],
+    exclude: np.ndarray | None = None,
+    doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, float]]:
     """Exact-phrase top-k over the positional postings: documents containing
     the query's token sequence CONTIGUOUSLY (position adjacency), scored by
@@ -319,6 +350,14 @@ def _phrase_one_query(
         )
         if not len(inter):
             return []
+    # candidate filters (see _exhaustive_one_query): stale-duplicate docs
+    # and out-of-range docs leave BEFORE any position decode
+    if doc_range is not None:
+        inter = inter[(inter >= doc_range[0]) & (inter <= doc_range[1])]
+    if exclude is not None and len(exclude):
+        inter = inter[~_in_sorted(exclude, inter)]
+    if not len(inter):
+        return []
 
     def _member(d: np.ndarray) -> np.ndarray:
         # membership against the sorted candidate set without re-sorting
@@ -381,13 +420,16 @@ def _score_one_query(
     k: int,
     n_docs: int,
     avgdl: float,
+    exclude: np.ndarray | None = None,
 ) -> list[tuple[int, int, float]]:
     """Hybrid dispatch: vectorized exhaustive below the postings threshold,
     block-max WAND above it.  Both obey the same determinism contract."""
     total = sum(int(b["n_postings"].sum()) for b in term_blocks.values() if len(b))
     if total <= _EXHAUSTIVE_MAX_POSTINGS:
-        return _exhaustive_one_query(term_blocks, term_df, k, n_docs, avgdl)
-    return _wand_one_query(term_blocks, term_df, k, n_docs, avgdl)
+        return _exhaustive_one_query(
+            term_blocks, term_df, k, n_docs, avgdl, exclude=exclude
+        )
+    return _wand_one_query(term_blocks, term_df, k, n_docs, avgdl, exclude=exclude)
 
 
 def _wand_one_query(
@@ -396,6 +438,7 @@ def _wand_one_query(
     k: int,
     n_docs: int,
     avgdl: float,
+    exclude: np.ndarray | None = None,
 ) -> list[tuple[int, int, float]]:
     iters = [
         _TermIter(t, bm25.idf(n_docs, term_df[t]), b)
@@ -426,6 +469,16 @@ def _wand_one_query(
         if iters[0].cur == pivot:
             # block-max refinement: shallow-advance the candidate iters and
             # re-check with per-block (not global) upper bounds.
+            if (
+                exclude is not None
+                and len(exclude)
+                and _in_sorted(exclude, pivot)
+            ):
+                # stale-duplicate doc: never score, advance past it
+                for it in iters:
+                    if it.cur == pivot:
+                        it.next_geq(pivot + 1)
+                continue
             bm_sum = sum(
                 it.block_max_at(pivot) for it in iters if it.cur <= pivot
             )
@@ -478,19 +531,24 @@ def _dispatch_query(
     phrase: list[str] | None,
     require_all: int,
     or_kernel=None,
+    exclude: np.ndarray | None = None,
+    doc_range: tuple[int, int] | None = None,
 ) -> list[tuple[int, int, float]]:
-    """One mode dispatcher shared by bm25_wand and bm25_wand_segments (and
-    mirrored by IndexServer), so a mode's semantics live in one place."""
+    """One mode dispatcher shared by bm25_wand, bm25_wand_segments and
+    bm25_distributed (and mirrored by IndexServer), so a mode's semantics
+    live in one place."""
     if mode == "PHRASE":
         return _phrase_one_query(
-            term_blocks, term_df, k, n_docs, avgdl, phrase or []
+            term_blocks, term_df, k, n_docs, avgdl, phrase or [],
+            exclude=exclude, doc_range=doc_range,
         )
     if mode == "AND":
         return _exhaustive_one_query(
-            term_blocks, term_df, k, n_docs, avgdl, require_all=require_all
+            term_blocks, term_df, k, n_docs, avgdl, require_all=require_all,
+            exclude=exclude, doc_range=doc_range,
         )
     return (or_kernel or _score_one_query)(
-        term_blocks, term_df, k, n_docs, avgdl
+        term_blocks, term_df, k, n_docs, avgdl, exclude=exclude
     )
 
 
@@ -684,12 +742,96 @@ def bm25_distributed(
     )
 
 
+def _stale_doc_sets(
+    spark: SparkSession, segments: list[IndexPaths]
+) -> tuple[dict[int, np.ndarray], int, int]:
+    """Per-segment STALE duplicates: docs whose home (oldest-containing)
+    segment is earlier in ``segments`` order.  Returns ({seg -> sorted
+    doc_ids}, total stale count, total stale doclen).
+
+    One column-pruned job over the per-doc tables (docs for membership —
+    it covers zero-token docs too — left-joined to each segment's doclens
+    for the stale COPY's token length).  The result is empty in the common
+    case: streaming ingest anti-joins re-ingested docs away
+    (incremental.py), and compaction removes any that predate it — so the
+    exactness machinery costs one small job and collects nothing.  Dup
+    copies are assumed content-identical (doc_id is the content key
+    hash(repo, path, commit)); under that assumption the corrected stats
+    below make multi-segment results BIT-identical to the merged index."""
+    if len(segments) < 2:
+        return {}, 0, 0
+    dl = None
+    for i, seg in enumerate(segments):
+        docs = spark.read.parquet(seg.docs).select("doc_id")
+        lens = spark.read.parquet(seg.doclens).select("doc_id", "doclen")
+        d = (
+            docs.join(lens, "doc_id", "left")
+            .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
+            .withColumn("seg", F.lit(i))
+        )
+        dl = d if dl is None else dl.unionByName(d)
+    w = Window.partitionBy("doc_id").orderBy("seg")
+    rows = (
+        dl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("seg", "doc_id", "doclen")
+        .collect()
+    )
+    by_seg: dict[int, list[int]] = {}
+    stale_len = 0
+    for r in rows:
+        by_seg.setdefault(int(r["seg"]), []).append(int(r["doc_id"]))
+        stale_len += int(r["doclen"])
+    return (
+        {s: np.sort(np.asarray(v, dtype=np.int64)) for s, v in by_seg.items()},
+        len(rows),
+        stale_len,
+    )
+
+
+def _stale_df_correction(
+    spark: SparkSession,
+    segments: list[IndexPaths],
+    terms: list[str],
+    buckets: list[int],
+    stale_by_seg: dict[int, np.ndarray],
+) -> dict[str, int]:
+    """Per-term count of postings belonging to STALE doc copies, summed
+    across segments — the amount by which summed per-segment df overstates
+    the merged index's df for the query's terms.  Reads only posting
+    blocks whose [min_doc_id, max_doc_id] overlaps the (tiny) stale id
+    range, pruned by pbucket + term like every query fetch; skipped
+    entirely when no segment has stale docs."""
+    corr: dict[str, int] = {}
+    for si, sd in stale_by_seg.items():
+        if not len(sd):
+            continue
+        lo, hi = int(sd[0]), int(sd[-1])
+        rows = (
+            spark.read.parquet(segments[si].postings)
+            .filter(F.col("pbucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .filter((F.col("max_doc_id") >= lo) & (F.col("min_doc_id") <= hi))
+            .select("term", "doc_ids_vb", "tfs_vb")
+            .collect()
+        )
+        for r in rows:
+            d, _tf = decode_block(bytes(r["doc_ids_vb"]), bytes(r["tfs_vb"]))
+            c = int(np.count_nonzero(_in_sorted(sd, d)))
+            if c:
+                corr[r["term"]] = corr.get(r["term"], 0) + c
+    return corr
+
+
 def _segment_global_stats(
     spark: SparkSession, segments: list[IndexPaths], terms: list[str],
     buckets: list[int],
-) -> tuple[int, float, dict[str, int]]:
-    """Corpus-level (n_docs, avgdl, per-term df) across disjoint segments:
-    sums of per-segment stats (docs live in exactly one segment)."""
+) -> tuple[int, float, dict[str, int], dict[int, np.ndarray]]:
+    """Corpus-level (n_docs, avgdl, per-term df) across segments, RECONCILED
+    to first-wins duplicate semantics, plus the per-segment stale-doc sets
+    for kernel-side exclusion.  With the corrections applied, every stat a
+    score depends on equals the fully-merged index's value exactly (round-2
+    review item: idf no longer drifts on uncompacted duplicate docs)."""
     n_docs = 0
     total_len = 0
     for seg in segments:
@@ -698,7 +840,6 @@ def _segment_global_stats(
         # exact integer token total, so the summed-global avgdl is
         # bit-identical to the fully-merged index's avgdl
         total_len += int(row["total_len"])
-    avgdl = float(total_len) / n_docs if n_docs else 0.0
     ts = None
     for seg in segments:
         t = (
@@ -712,7 +853,14 @@ def _segment_global_stats(
         r["term"]: int(r["df"])
         for r in ts.groupBy("term").agg(F.sum("df").alias("df")).collect()
     }
-    return n_docs, avgdl, term_df
+    stale_by_seg, n_stale, stale_len = _stale_doc_sets(spark, segments)
+    if n_stale:
+        n_docs -= n_stale
+        total_len -= stale_len
+        corr = _stale_df_correction(spark, segments, terms, buckets, stale_by_seg)
+        term_df = {t: df - corr.get(t, 0) for t, df in term_df.items()}
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    return n_docs, avgdl, term_df, stale_by_seg
 
 
 def bm25_wand_segments(
@@ -757,7 +905,9 @@ def bm25_wand_segments(
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({r["term"] for r in qt_rows})
     buckets = sorted({term_bucket(t, n_pbuckets) for t in terms})
-    n_docs, avgdl, term_df = _segment_global_stats(spark, segments, terms, buckets)
+    n_docs, avgdl, term_df, stale_by_seg = _segment_global_stats(
+        spark, segments, terms, buckets
+    )
 
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
@@ -780,6 +930,7 @@ def bm25_wand_segments(
         rows = _dispatch_query(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
+            exclude=stale_by_seg.get(seg),
         )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s, "seg": seg}
@@ -791,12 +942,13 @@ def bm25_wand_segments(
     partial = blocks.groupBy("query_id", "seg").applyInPandas(
         run_partial, RESULT_SCHEMA + ", seg int"
     )
-    # first-wins doc dedupe: a doc re-ingested into a newer segment before
-    # compaction would otherwise appear once per segment in the top-k; keep
-    # the lowest segment's row — the same first-wins rule merge.py applies
-    # when compaction dedupes the postings.  (Until that compaction, its
-    # duplicate still inflates n_docs/df slightly — the standard LSM-search
-    # approximation, resolved by the next merge.)
+    # A doc re-ingested into a newer segment before compaction is excluded
+    # INSIDE the kernel for every non-home segment (``exclude`` above), and
+    # n_docs/avgdl/df are reconciled to first-wins in
+    # _segment_global_stats — so scores, membership AND borderline top-k
+    # cutoffs are exactly those of the compacted index (round-2 review
+    # items 1-2).  The window below is defense-in-depth only; with the
+    # exclusion it dedupes nothing.
     w_dedup = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("seg"))
     ksdf = spark.createDataFrame(
         [(qid, k) for qid, k in ks.items()], "query_id int, k int"

@@ -18,9 +18,17 @@ Pruning parity is guaranteed because the bucket hash (crc32, bucketing.py)
 is bit-identical in Spark and Python.
 
 Results are rank-identical to bm25_wand / bm25_bruteforce / the oracle:
-same hybrid kernel (_score_one_query: vectorized exhaustive below a
-postings threshold, block-max WAND above), same quantize-then-rank contract
-(asserted in tests/test_serve.py).
+same mode dispatcher (query._dispatch_query: vectorized exhaustive below
+a postings threshold, block-max WAND above; AND / PHRASE kernels), same
+quantize-then-rank contract (asserted in tests/test_serve.py).
+
+Multi-segment serving (the streaming tier set) runs every mode PER
+SEGMENT with first-wins stale-duplicate exclusion and RECONCILED global
+stats (n_docs / avgdl / df corrected for docs duplicated across
+segments), then merges the per-segment top-k heaps — so OR, AND and
+PHRASE results are all exactly those of the fully compacted index, and a
+large segment is still served by block-max WAND (the round-2 exhaustive
+fallback and its AND/PHRASE cross-segment bugs are gone).
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ from __future__ import annotations
 import os
 from collections import OrderedDict
 
+import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -35,7 +44,8 @@ import pyarrow.parquet as pq
 from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index.build import N_PBUCKETS, IndexPaths
-from horus_ner_spark.index.query import _score_one_query
+from horus_ner_spark.index.codec import decode_block
+from horus_ner_spark.index.query import _dispatch_query, _in_sorted
 
 # columns the OR/AND kernels need; the LRU caches exactly these.  pos_vb
 # (the largest per-posting payload) is fetched only for PHRASE queries,
@@ -58,11 +68,12 @@ class IndexServer:
     def __init__(self, index_dir: str | list[str], n_pbuckets: int = N_PBUCKETS,
                  cache_terms: int = 4096) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
-        the streaming tier set (streaming/incremental.py): global stats sum
-        across segments (docs live in exactly one segment; corpus_stats
-        stores the integer token total, so the summed avgdl is bit-identical
-        to the merged index's) and per-term blocks/df concatenate, making
-        results rank-identical to serving the fully compacted index."""
+        the streaming tier set (streaming/incremental.py), OLDEST FIRST
+        (the order active_units returns; first-wins dedupe follows it).
+        Global stats sum across segments and are then reconciled for docs
+        duplicated across segments (stale copies subtracted from n_docs /
+        total_len; per-term df corrected at fetch time), making results
+        rank- AND score-identical to serving the fully compacted index."""
         from horus_ner_spark import catalog
 
         catalog.require_path_refs("IndexServer")  # pyarrow path reads
@@ -83,12 +94,31 @@ class IndexServer:
             self._term_stats.append(
                 pads.dataset(paths.term_stats, partitioning="hive")
             )
+        # stale-duplicate reconciliation: docs present in an earlier (older)
+        # segment serve only from there; later copies are excluded and
+        # subtracted from every stat.  One doc_id-column scan per segment at
+        # startup; empty in the common case (ingest dedupes — incremental.py)
+        self._stale: dict[int, np.ndarray] = {}
+        if len(dirs) > 1:
+            seen = np.empty(0, dtype=np.int64)
+            for si, d in enumerate(dirs):
+                paths = IndexPaths(d)
+                ids = pq.read_table(
+                    paths.docs, columns=["doc_id"]
+                )["doc_id"].to_numpy()
+                if len(seen):
+                    st = np.sort(ids[_in_sorted(seen, ids)])
+                    if len(st):
+                        self._stale[si] = st
+                        n_docs -= len(st)
+                        dl = pq.read_table(
+                            paths.doclens, columns=["doc_id", "doclen"]
+                        )
+                        m = _in_sorted(st, dl["doc_id"].to_numpy())
+                        total_len -= int(dl["doclen"].to_numpy()[m].sum())
+                seen = np.union1d(seen, ids)
         self.n_docs = n_docs
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
-        # multi-segment block sets overlap in doc-id ranges, which violates
-        # the WAND iterator's sorted-disjoint-blocks invariant — serve
-        # multi-segment queries with the vectorized exhaustive kernel
-        # (identical scores: each doc's postings live in one segment)
         self._single_segment = len(dirs) == 1
         self.n_pbuckets = n_pbuckets
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
@@ -114,7 +144,7 @@ class IndexServer:
         if misses:
             dfs, blocks = self._fetch(misses, _BLOCK_COLS)
             for t in misses:
-                if t in dfs:
+                if dfs.get(t, 0) > 0:
                     entry = (dfs[t], blocks[blocks["term"] == t])
                     out[t] = entry
                 else:  # negative entry: absent terms are served from the LRU
@@ -126,94 +156,104 @@ class IndexServer:
 
     def _fetch(self, terms: list[str], cols: list[str]):
         """Pruned, uncached storage read of ``cols`` for ``terms`` across
-        all segments -> (term->df sums, block frame tagged with seg)."""
+        all segments -> (term->RECONCILED df, block frame tagged with seg).
+
+        The df sum over segments is corrected by the number of postings
+        belonging to stale duplicate copies (decoded from the very blocks
+        just fetched, only for segments that have stale docs and only for
+        blocks whose id range overlaps them) — giving exactly the merged
+        index's df."""
         buckets = sorted({term_bucket(t, self.n_pbuckets) for t in terms})
         flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(terms)
         dfs: dict[str, int] = {}
-        for ts in self._term_stats:  # df sums across disjoint segments
+        for ts in self._term_stats:  # df sums across segments
             for r in ts.to_table(columns=["term", "df"], filter=flt).to_pylist():
                 dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
         frames = []
         for si, p in enumerate(self._postings):
             f = p.to_table(columns=cols, filter=flt).to_pandas()
-            f["seg"] = si  # segment id: multi-segment scoring + dedupe
+            f["seg"] = si  # segment id: per-segment scoring + stale exclusion
             frames.append(f)
-        return dfs, pd.concat(frames, ignore_index=True)
+        blocks = pd.concat(frames, ignore_index=True)
+        if self._stale:
+            for si, sd in self._stale.items():
+                sub = blocks[
+                    (blocks["seg"] == si)
+                    & (blocks["max_doc_id"] >= int(sd[0]))
+                    & (blocks["min_doc_id"] <= int(sd[-1]))
+                ]
+                for t, dvb, tvb in zip(
+                    sub["term"], sub["doc_ids_vb"], sub["tfs_vb"]
+                ):
+                    d, _tf = decode_block(bytes(dvb), bytes(tvb))
+                    c = int(np.count_nonzero(_in_sorted(sd, d)))
+                    if c:
+                        dfs[t] -= c
+        return dfs, blocks
 
     def search(self, query_text: str, lang: str = "python", k: int = 10,
                mode: str = "OR") -> pd.DataFrame:
         """Top-k for one query -> (rank, doc_id, score).
 
         ``mode="AND"`` requires every query term to match (conjunctive
-        semantics; a term absent from the index makes the result empty) —
-        served by the vectorized exhaustive kernel.  ``mode="PHRASE"``
-        requires the query's token sequence to appear contiguously
-        (positional index)."""
+        semantics; a term absent from the index makes the result empty).
+        ``mode="PHRASE"`` requires the query's token sequence to appear
+        contiguously (positional index)."""
         terms = sorted(set(tokenize(query_text, lang)))
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
-        if mode.upper() == "PHRASE":
+        mode = mode.upper()
+        if mode == "PHRASE":
             if not terms:
                 return empty
             # positions bypass the LRU (see _BLOCK_COLS note)
             dfs, blocks = self._fetch(terms, _BLOCK_COLS + ["pos_vb"])
-            if len(dfs) < len(terms):
+            if any(dfs.get(t, 0) <= 0 for t in terms):
                 return empty
-            from horus_ner_spark.index.query import _phrase_one_query
-
-            rows = _phrase_one_query(
-                {t: blocks[blocks["term"] == t] for t in terms},
-                dfs,
-                k, self.n_docs, self.avgdl,
-                tokenize(query_text, lang),
+            rows = self._run(
+                {t: blocks[blocks["term"] == t] for t in terms}, dfs, k,
+                "PHRASE", phrase=tokenize(query_text, lang),
             )
             return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
         loaded = self._load_terms(terms)
-        if mode.upper() == "AND":
-            if len(loaded) < len(terms):
-                return empty  # some term has no postings at all
-            from horus_ner_spark.index.query import _exhaustive_one_query
-
-            rows = _exhaustive_one_query(
-                {t: b for t, (_df, b) in loaded.items()},
-                {t: df for t, (df, _b) in loaded.items()},
-                k, self.n_docs, self.avgdl, require_all=len(terms),
-            )
-        else:
-            rows = self._score(
-                {t: b for t, (_df, b) in loaded.items()},
-                {t: df for t, (df, _b) in loaded.items()},
-                k,
-            )
+        if mode == "AND" and len(loaded) < len(terms):
+            return empty  # some term has no (live) postings at all
+        rows = self._run(
+            {t: b for t, (_df, b) in loaded.items()},
+            {t: df for t, (df, _b) in loaded.items()},
+            k, mode, require_all=len(terms),
+        )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
 
-    def _score(self, term_blocks, term_df, k):
+    def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0):
+        """Mode dispatch, segment-aware: single-segment serves straight from
+        the shared kernel dispatcher; multi-segment runs the SAME dispatcher
+        per segment (block-max WAND included — each segment's blocks honor
+        the sorted-disjoint invariant) with stale-duplicate exclusion, then
+        merges the per-segment top-k lists.  After exclusion no doc can
+        appear in two segments, so the merge is a plain (score desc, doc_id
+        asc) resort."""
         if self._single_segment:
-            return _score_one_query(
-                term_blocks, term_df, k, self.n_docs, self.avgdl
+            return _dispatch_query(
+                term_blocks, term_df, k, self.n_docs, self.avgdl,
+                mode, phrase, require_all,
             )
-        # multi-segment: score each segment independently with global stats
-        # (a doc's postings live in its home segment), then merge with
-        # first-wins doc dedupe — the rule merge.py applies at compaction —
-        # so a doc re-ingested into a newer segment never serves twice
-        from horus_ner_spark.index.query import _exhaustive_one_query
-
-        best: dict[int, tuple[float, int]] = {}  # doc -> (score, seg)
-        segs = sorted(
+        seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
         )
-        for si in segs:
+        pooled: list[tuple[float, int]] = []
+        for si in seg_ids:
             sub = {
                 t: b[b["seg"] == si]
                 for t, b in term_blocks.items()
                 if (b["seg"] == si).any()
             }
-            for _r, d, s in _exhaustive_one_query(
-                sub, term_df, k, self.n_docs, self.avgdl
+            for _r, d, s in _dispatch_query(
+                sub, term_df, k, self.n_docs, self.avgdl,
+                mode, phrase, require_all, exclude=self._stale.get(si),
             ):
-                if d not in best or best[d][1] > si:
-                    best[d] = (s, si)
-        ranked = sorted(best.items(), key=lambda e: (-e[1][0], e[0]))[:k]
-        return [(r + 1, d, s) for r, (d, (s, _si)) in enumerate(ranked)]
+                pooled.append((s, d))
+        pooled.sort(key=lambda e: (-e[0], e[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
 
     def search_batch(self, queries: list[dict]) -> pd.DataFrame:
         """Many queries -> (query_id, rank, doc_id, score); one storage read
@@ -229,7 +269,10 @@ class IndexServer:
             qid = q["query_id"]
             sub = {t: loaded[t][1] for t in per_q[qid] if t in loaded}
             dfs = {t: loaded[t][0] for t in per_q[qid] if t in loaded}
-            rows = self._score(sub, dfs, q.get("k", 10))
+            rows = self._run(
+                sub, dfs, q.get("k", 10), q.get("mode", "OR").upper(),
+                require_all=len(per_q[qid]),
+            )
             if not rows:
                 continue
             frames.append(

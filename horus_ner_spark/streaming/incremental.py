@@ -51,9 +51,14 @@ def _unit_key(path: str, index_root: str) -> str:
 
 
 def active_units(index_root: str) -> list[tuple[int, str]]:
-    """(level, index_path) of every live unit: level-0 segment indexes plus
+    """(level, index_path) of every live unit — level-0 segment indexes plus
     compacted tiers, minus any unit recorded as absorbed by a tier's
-    ``inputs.json`` — the crash-safe source of truth for what serves."""
+    ``inputs.json`` (the crash-safe source of truth for what serves) —
+    ordered OLDEST-CONTENT-FIRST by _unit_age_key.  The order matters: it
+    is the first-wins precedence used by both compaction (merge.py dedupe)
+    and multi-segment serving (bm25_wand_segments / IndexServer stale
+    exclusion), so the two must see the same sequence (round-2 advice:
+    lexicographic listing diverged from the merge order at 10+ segments)."""
     absorbed: set[str] = set()
     tiers: list[tuple[int, str]] = []
     tdir = os.path.join(index_root, _TIER_DIR)
@@ -74,21 +79,32 @@ def active_units(index_root: str) -> list[tuple[int, str]]:
             os.path.join(index_root, d, "ix", "postings.parquet", "_SUCCESS")
         )
     ]
-    return [
+    live = [
         (lvl, p)
         for lvl, p in segs + tiers
         if _unit_key(p, index_root) not in absorbed
     ]
+    return sorted(live, key=lambda e: _unit_age_key(e[1]))
 
 
 def _unit_age_key(path: str) -> tuple:
-    """Oldest-first ordering for the merge policy.  Segment units order by
-    their NUMERIC batch id (plain lexicographic sort put seg_10 before
-    seg_2, mixing the newest segment into the oldest merge and breaking
-    the O(total·log_fanout) bound); tiers order by name."""
+    """Oldest-content-first ordering shared by the merge policy and the
+    serving order.  Segment units order by their NUMERIC batch id (plain
+    lexicographic sort put seg_10 before seg_2, mixing the newest segment
+    into the oldest merge and breaking the O(total·log_fanout) bound);
+    tiers order by the creation sequence recorded in ``inputs.json``
+    (``seq`` = min batch id absorbed, recursively), NOT by their
+    content-hash name — hash ordering picked an arbitrary merge subset
+    (round-2 advice).  Legacy tiers without ``seq`` fall back to name."""
     base = os.path.basename(os.path.dirname(path))  # seg_<N>/ix -> seg_<N>
     if base.startswith("seg_"):
         return (0, int(base[4:]), "")
+    meta = os.path.join(path, "inputs.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            m = json.load(f)
+        if "seq" in m:
+            return (0, int(m["seq"]), os.path.basename(path))
     return (1, 0, os.path.basename(path))
 
 
@@ -119,6 +135,10 @@ def compact_tiers(
             return n_merges
         lvl, inputs = todo[0]
         keys = [_unit_key(p, index_root) for p in inputs]
+        # creation sequence: the oldest batch id this tier's content reaches
+        # back to (recursive via the inputs' own age keys) — the merge
+        # policy and the serving order both sort by it (_unit_age_key)
+        seq = min(_unit_age_key(p)[1] for p in inputs)
         name = f"L{lvl + 1}_" + hashlib.sha256(
             json.dumps(keys, sort_keys=True).encode()
         ).hexdigest()[:10]
@@ -128,7 +148,7 @@ def compact_tiers(
             merge_indexes(spark, [IndexPaths(p) for p in inputs], out_dir)
             tmp = meta + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"inputs": keys, "level": lvl + 1}, f)
+                json.dump({"inputs": keys, "level": lvl + 1, "seq": seq}, f)
             os.replace(tmp, meta)
         n_merges += 1
 
@@ -176,13 +196,23 @@ def incremental_index_stream(
     index_root: str,
     checkpoint_dir: str,
     fanout: int = DEFAULT_FANOUT,
+    dedup_ingest: bool = True,
 ):
     """Start an availableNow stream: new corpus parquet files under
     ``landing_dir`` are built into per-batch segment indexes; the tier set
     is compacted per the merge policy.  Query the live index with
     ``query.bm25_wand_segments(spark, segment_paths(index_root), ...)``.
-    Returns the StreamingQuery."""
-    from horus_ner_spark.index.build import build_index
+    Returns the StreamingQuery.
+
+    ``dedup_ingest`` anti-joins each micro-batch against the doc_ids
+    already indexed by the live units, so a re-delivered document never
+    creates a cross-segment duplicate in the first place (first-wins is
+    then trivially exact and the serve-time stale reconciliation in
+    query.py/serve.py collects nothing).  The anti-join reads one pruned
+    int64 column per live unit; at very large live-unit counts a
+    deployment would swap the exact join for per-unit Bloom filters —
+    same contract, this is the single code point."""
+    from horus_ner_spark.index.build import build_index, with_doc_id
 
     os.makedirs(index_root, exist_ok=True)
 
@@ -190,7 +220,23 @@ def incremental_index_stream(
         seg_root = os.path.join(index_root, f"seg_{batch_id}")
         seg_corpus = os.path.join(seg_root, "corpus.parquet")
         if not os.path.exists(os.path.join(seg_corpus, "_SUCCESS")):
-            batch_df.write.mode("overwrite").parquet(seg_corpus)
+            out = batch_df
+            if dedup_ingest:
+                existing = None
+                for _lvl, p in active_units(index_root):
+                    ids = spark.read.parquet(
+                        os.path.join(p, "docs.parquet")
+                    ).select("doc_id")
+                    existing = (
+                        ids if existing is None else existing.unionByName(ids)
+                    )
+                if existing is not None:
+                    out = (
+                        with_doc_id(batch_df)
+                        .join(existing, "doc_id", "left_anti")
+                        .drop("doc_id")
+                    )
+            out.write.mode("overwrite").parquet(seg_corpus)
         build_index(spark, seg_corpus, os.path.join(seg_root, "ix"))
         compact_tiers(spark, index_root, fanout)
 

@@ -57,6 +57,73 @@ def test_merge_equals_single_shot(spark, segments):
     assert _results(spark, merged) == _results(spark, full)
 
 
+def test_merge_hot_term_reblocks_in_parallel_groups(spark, tmp_path):
+    """Round-3 scale fix: a term whose MERGED df crosses the split
+    threshold re-blocks per (term, rb) — many parallel groups — even when
+    every input segment built it cold; output is byte-identical to the
+    single-shot build; and the merge writes NO tf table by default."""
+    import os
+
+    import pandas as pd
+
+    thr = 48  # lowered split threshold so a 120-doc term is "hot"
+    docs = pd.DataFrame(
+        {
+            "repo": ["r"] * 120,
+            "path": [f"f{i}.py" for i in range(120)],
+            "commit": ["c0"] * 120,
+            "lang": ["python"] * 120,
+            "content": [f"hotterm filler{i} payload" for i in range(120)],
+        }
+    )
+    seg_paths = []
+    for i, sl in enumerate((slice(0, 40), slice(40, 80), slice(80, 120))):
+        cp = str(tmp_path / f"c{i}.parquet")
+        spark.createDataFrame(docs.iloc[sl]).write.parquet(cp)
+        seg_paths.append(
+            build_index(spark, cp, str(tmp_path / f"ix{i}"), split_threshold=thr)
+        )
+    full_cp = str(tmp_path / "call.parquet")
+    spark.createDataFrame(docs).write.parquet(full_cp)
+    full = build_index(spark, full_cp, str(tmp_path / "ixfull"), split_threshold=thr)
+
+    merged = merge_indexes(
+        spark, seg_paths, str(tmp_path / "m"), split_threshold=thr
+    )
+    assert _blocks_signature(spark, merged) == _blocks_signature(spark, full)
+    # the hot term's merged postings span >1 range bucket => the merge's
+    # (term, rb) grouping re-blocked it in parallel groups, never one task
+    rbs = {
+        r["rb"]
+        for r in spark.read.parquet(merged.postings)
+        .filter(F.col("term") == "hotterm")
+        .select("rb")
+        .collect()
+    }
+    assert len(rbs) > 1, f"hot term merged in a single rb group: {rbs}"
+    # every cold-built input block had rb == 0 for this term
+    for seg in seg_paths:
+        seg_rbs = {
+            r["rb"]
+            for r in spark.read.parquet(seg.postings)
+            .filter(F.col("term") == "hotterm")
+            .select("rb")
+            .collect()
+        }
+        assert seg_rbs == {0}
+    # slim contract: no tf table in the merge output unless merge_tf=True
+    assert not os.path.exists(merged.tf)
+    with_tf = merge_indexes(
+        spark, seg_paths, str(tmp_path / "m_tf"), split_threshold=thr,
+        merge_tf=True,
+    )
+    assert os.path.exists(with_tf.tf)
+    assert (
+        spark.read.parquet(with_tf.tf).count()
+        == spark.read.parquet(full.tf).count()
+    )
+
+
 def test_merge_associative_and_idempotent(spark, segments):
     root, segs, full = segments
     ab = merge_indexes(spark, segs[:2], str(root / "m_ab"))

@@ -159,3 +159,76 @@ def test_duplicate_doc_across_segments_served_once(spark, tmp_path):
     srv = IndexServer([s.root for s in segs])
     out = srv.search("alpha delta", "en", k=10)
     assert out["doc_id"].is_unique
+
+
+def test_duplicate_doc_stats_reconciled_exactly(spark, tmp_path):
+    """Round-3 exactness: with a doc re-ingested into a second segment
+    (and a third), multi-segment results — distributed AND served, in OR,
+    AND and PHRASE modes — are SCORE- and RANK-identical to the compacted
+    index, not just dedup-consistent.  This pins the round-2 idf drift
+    (inflated n_docs/df until compaction) and the borderline top-k drop:
+    n_docs/avgdl/df are reconciled to first-wins and stale copies are
+    excluded inside the kernels."""
+    import pandas as pd
+
+    from horus_ner_spark.index.build import build_index
+    from horus_ner_spark.index.merge import merge_indexes
+    from horus_ner_spark.index.query import bm25_wand, bm25_wand_segments
+
+    base = pd.DataFrame(
+        {
+            "repo": ["r"] * 6,
+            "path": [f"f{i}" for i in range(6)],
+            "commit": ["c"] * 6,
+            "lang": ["en"] * 6,
+            "content": [
+                "alpha beta gamma delta",
+                "alpha delta epsilon",
+                "beta gamma delta zeta",
+                "epsilon zeta alpha",
+                "alpha beta delta delta",
+                "gamma gamma epsilon",
+            ],
+        }
+    )
+    seg_a = base.iloc[:3]
+    seg_b = pd.concat([base.iloc[1:2], base.iloc[3:5]])  # f1 re-ingested
+    seg_c = pd.concat([base.iloc[4:5], base.iloc[5:6]])  # f4 re-ingested
+    segs = []
+    for name, part in (("a", seg_a), ("b", seg_b), ("c", seg_c)):
+        cp = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(part).write.parquet(cp)
+        segs.append(build_index(spark, cp, str(tmp_path / f"ix_{name}")))
+    merged = merge_indexes(spark, segs, str(tmp_path / "merged"))
+
+    queries = [
+        {"query_id": 1, "query_text": "alpha delta", "lang": "en", "k": 3},
+        {"query_id": 2, "query_text": "alpha delta", "lang": "en", "k": 10,
+         "mode": "AND"},
+        {"query_id": 3, "query_text": "beta gamma", "lang": "en", "k": 10,
+         "mode": "PHRASE"},
+        {"query_id": 4, "query_text": "epsilon", "lang": "en", "k": 10},
+    ]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_wand(spark, merged, queries).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_wand_segments(spark, segs, queries).collect()
+    )
+    assert got == want and len(want) > 0
+
+    multi = IndexServer([s.root for s in segs])
+    single = IndexServer(merged.root)
+    assert multi.n_docs == single.n_docs == 6
+    assert multi.avgdl == single.avgdl
+    for q in queries:
+        a = multi.search(
+            q["query_text"], "en", q["k"], q.get("mode", "OR")
+        ).values.tolist()
+        b = single.search(
+            q["query_text"], "en", q["k"], q.get("mode", "OR")
+        ).values.tolist()
+        assert a == b, (q, a, b)
+    assert len(multi.search("alpha delta", "en", 10).values.tolist()) > 0
