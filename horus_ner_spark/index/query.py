@@ -643,27 +643,41 @@ def bm25_distributed(
     queries: list[dict],
     n_pbuckets: int = N_PBUCKETS,
     n_tasks: int | None = None,
+    range_bits: int = None,
+    split_threshold: int = None,
 ) -> DataFrame:
     """Partition-parallel BM25 over the compressed blocks — the mega-query
     scale path (round-1 review: WAND runs ONE Python task per query; a
     query whose terms span 10^10 postings needs the cluster, not a core).
 
-    Plan: pruned block fetch -> repartition to ``n_tasks`` -> one Arrow
+    OR plan: pruned block fetch -> repartition to ``n_tasks`` -> one Arrow
     kernel per partition decodes its blocks and PARTIALLY AGGREGATES
     per-(query, doc) contributions (map-side combine in the kernel, so the
     shuffle carries one row per distinct doc per partition, never one per
     posting) -> JVM hash-agg sums partials -> bround quantize -> window
     top-k.  Rank-identical to bm25_bruteforce (same JVM summation +
-    quantize-then-rank contract; tested)."""
+    quantize-then-rank contract; tested).
+
+    AND / PHRASE plan (round-3; the round-2 guard is gone): conjunctive
+    semantics need every candidate doc's postings for ALL query terms in
+    one place, so the unit of parallelism is the doc_id RANGE BUCKET the
+    build already salts hot terms by: every block joins to the rb range(s)
+    its [min_doc_id, max_doc_id] span (hot-built blocks to exactly one; a
+    cold term's few blocks replicate to the ranges they cross), and the
+    phrase/AND kernel runs once per (query, rb) over docs in that range
+    only — a one-phrase mega-query runs as up to 2^RANGE_BITS kernel
+    tasks, then a tiny JVM window merges disjoint per-range top-k's.
+    Queries whose terms are ALL cold skip the fan-out (single group): the
+    whole candidate set is at most a few thousand postings.  Scores are
+    complete per doc inside its range, so results are rank-identical to
+    bm25_wand (tested, test_phrase.py)."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
-    bad = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
-    if bad:  # partial per-doc sums can't express AND counts or positions
-        raise ValueError(
-            "bm25_distributed scores disjunctive (OR) queries only; route "
-            f"mode={bad[0]['mode']!r} through bm25_wand / bm25_wand_segments"
-        )
+    if range_bits is None:
+        from horus_ner_spark.index.build import RANGE_BITS as range_bits
+    if split_threshold is None:
+        from horus_ner_spark.index.build import SPLIT_THRESHOLD as split_threshold
     stats = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qt_rows = _query_terms(queries)
@@ -681,7 +695,28 @@ def bm25_distributed(
         .collect()
     }
     idfs = {t: bm25.idf(n_docs, term_df[t]) for t in term_df}
-    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+
+    conj = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
+    or_queries = [q for q in queries if q.get("mode", "OR").upper() == "OR"]
+    parts = []
+    if conj:
+        parts.append(
+            _conjunctive_distributed(
+                spark, paths, conj, qt_rows, term_df, n_docs, avgdl,
+                buckets, range_bits, split_threshold,
+            )
+        )
+    if not or_queries:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("query_id", "rank")
+
+    or_qids = {q["query_id"] for q in or_queries}
+    qt = spark.createDataFrame(
+        [r for r in qt_rows if r["query_id"] in or_qids],
+        "query_id int, term string",
+    )
     blocks = (
         spark.read.parquet(paths.postings)
         .filter(F.col("pbucket").isin(buckets))
@@ -733,12 +768,123 @@ def bm25_distributed(
         [(qid, k) for qid, k in ks.items()], "query_id int, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         agg.withColumn("rank", F.row_number().over(w))
         .join(F.broadcast(ksdf), "query_id")
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
+    )
+    for p in parts:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", "rank")
+
+
+def _conjunctive_distributed(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[dict],
+    qt_rows: list[dict],
+    term_df: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    buckets: list[int],
+    range_bits: int,
+    split_threshold: int,
+) -> DataFrame:
+    """Distributed AND / PHRASE: fan the kernel out over doc_id range
+    buckets (see bm25_distributed docstring).  Returns an un-ordered
+    results frame matching RESULT_SCHEMA."""
+    shift = 64 - range_bits
+    qids = {q["query_id"] for q in queries}
+    ks = {q["query_id"]: q.get("k", 10) for q in queries}
+    modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    phrases = {
+        q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
+        for q in queries
+        if q.get("mode", "OR").upper() == "PHRASE"
+    }
+    rows = [r for r in qt_rows if r["query_id"] in qids]
+    n_query_terms = {
+        qid: len({r["term"] for r in rows if r["query_id"] == qid})
+        for qid in qids
+    }
+    terms = sorted({r["term"] for r in rows})
+    # a query fans out only if some term is hot (rb-salted by the build):
+    # all-cold conjunctions have at most a few thousand candidate postings
+    # and run as ONE group (no doc_range filter)
+    fan_out = {
+        qid: any(
+            term_df.get(r["term"], 0) > split_threshold
+            for r in rows
+            if r["query_id"] == qid
+        )
+        for qid in qids
+    }
+    qt = spark.createDataFrame(rows, "query_id int, term string")
+    cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("pbucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(qt), "term")
+        .select("query_id", *cols)
+    )
+    fan_qids = sorted(q for q, f in fan_out.items() if f)
+    if fan_qids:
+        # every block joins to each range bucket its doc span crosses:
+        # exactly one for hot-built blocks, the crossed ranges for a cold
+        # term's blocks (replication bounded by 2^range_bits over at most
+        # SPLIT_THRESHOLD/BLOCK_SIZE blocks per cold term)
+        spanned = blocks.filter(F.col("query_id").isin(fan_qids)).withColumn(
+            "grb",
+            F.explode(
+                F.sequence(
+                    F.shiftright("min_doc_id", shift),
+                    F.shiftright("max_doc_id", shift),
+                )
+            ),
+        )
+        single = blocks.filter(
+            ~F.col("query_id").isin(fan_qids)
+        ).withColumn("grb", F.lit(None).cast("long"))
+        tagged = spanned.unionByName(single)
+    else:
+        tagged = blocks.withColumn("grb", F.lit(None).cast("long"))
+
+    def run_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        grb = pdf["grb"].iloc[0]
+        doc_range = None
+        if grb is not None and not pd.isna(grb):
+            lo = int(grb) << shift
+            doc_range = (lo, lo + (1 << shift) - 1)
+        term_blocks = {t: g for t, g in pdf.groupby("term")}
+        rows_ = _dispatch_query(
+            term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
+            modes.get(qid, "AND"), phrases.get(qid),
+            n_query_terms.get(qid, 0), doc_range=doc_range,
+        )
+        return pd.DataFrame(
+            [{"query_id": qid, "rank": r, "doc_id": d, "score": s}
+             for r, d, s in rows_],
+            columns=["query_id", "rank", "doc_id", "score"],
+        ).astype({"query_id": "int32", "rank": "int32", "doc_id": "int64",
+                  "score": "float64"})
+
+    partial = tagged.groupBy("query_id", "grb").applyInPandas(
+        run_range, RESULT_SCHEMA
+    )
+    # ranges partition the doc-id space, so per-range results are disjoint
+    # and fully scored: global top-k is a plain window merge
+    ksdf = spark.createDataFrame(
+        [(qid, ks[qid]) for qid in sorted(qids)], "query_id int, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(ksdf), "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 
