@@ -56,20 +56,100 @@ def require_path_refs(what: str) -> None:
         )
 
 
+# ── filesystem layer ────────────────────────────────────────────────────────
+# Every non-Spark filesystem touch in the engine (manifest JSON, tier
+# bookkeeping, data-file listings) goes through these helpers, which route
+# by URI scheme via pyarrow.fs — so pointing the engine at an object store
+# (``s3://bucket/ix`` instead of ``/data/ix``) is a path-string switch, not
+# a code change (round-2 verdict: the tier/manifest plumbing assumed POSIX).
+# Local paths keep tmp+rename atomicity; object stores rely on atomic PUT.
+
+
+def filesystem(ref: str):
+    """(pyarrow FileSystem, in-filesystem path) for a path or URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in ref:
+        return pafs.FileSystem.from_uri(ref)
+    return pafs.LocalFileSystem(), os.path.abspath(ref)
+
+
+def fs_exists(ref: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, path = filesystem(ref)
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def fs_makedirs(ref: str) -> None:
+    fs, path = filesystem(ref)
+    fs.create_dir(path, recursive=True)
+
+
+def fs_list_dirs(ref: str) -> list[str]:
+    """Sorted base names of child DIRECTORIES of ``ref`` ([] if absent)."""
+    from pyarrow import fs as pafs
+
+    fs, path = filesystem(ref)
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
+        return []
+    infos = fs.get_file_info(pafs.FileSelector(path))
+    return sorted(
+        i.base_name for i in infos if i.type == pafs.FileType.Directory
+    )
+
+
+def fs_read_json(ref: str):
+    import json
+
+    fs, path = filesystem(ref)
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode())
+
+
+def fs_write_json_atomic(ref: str, obj) -> None:
+    import json
+
+    from pyarrow import fs as pafs
+
+    fs, path = filesystem(ref)
+    data = json.dumps(obj, indent=1, sort_keys=True).encode()
+    if isinstance(fs, pafs.LocalFileSystem):  # POSIX: tmp + atomic rename
+        tmp = path + ".tmp"
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        fs.move(tmp, path)
+    else:  # object store: single PUT is atomic
+        with fs.open_output_stream(path) as f:
+            f.write(data)
+
+
+def fs_remove_tree(ref: str) -> None:
+    fs, path = filesystem(ref)
+    fs.delete_dir(path)
+
+
 def list_data_files(ref: str, suffix: str | None = None) -> list[tuple[str, int]]:
     """Sorted (relative path, size) of a table's data files — the single
     listing primitive used by manifest fingerprints and metrics, so only
-    this function needs reimplementing per storage/format."""
+    this function needs reimplementing per table FORMAT (under Iceberg it
+    would read the manifest metadata); per-STORAGE routing is already
+    handled by the pyarrow.fs layer above."""
+    from pyarrow import fs as pafs
+
     require_path_refs("list_data_files")
+    fs, path = filesystem(ref)
+    infos = fs.get_file_info(pafs.FileSelector(path, recursive=True))
     out: list[tuple[str, int]] = []
-    for root, _dirs, files in os.walk(ref):
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            if suffix is not None and not f.endswith(suffix):
-                continue
-            p = os.path.join(root, f)
-            out.append((os.path.relpath(p, ref), os.path.getsize(p)))
+    for i in infos:
+        if i.type != pafs.FileType.File:
+            continue
+        if i.base_name.startswith(("_", ".")):
+            continue
+        if suffix is not None and not i.base_name.endswith(suffix):
+            continue
+        rel = os.path.relpath(i.path, path)
+        out.append((rel, int(i.size)))
     out.sort()
     return out
 

@@ -15,8 +15,10 @@ bytes compressed) are derived from the stage's committed output, so they are
 always consistent with what is actually on disk.
 
 Storage: one JSON file per stage under ``<index_dir>/_manifest/``, written
-atomically (tmp + rename).  ``load_manifest_df`` exposes the whole manifest
-as a DataFrame for inspection.
+atomically (tmp + rename locally; single PUT on object stores) through the
+catalog's pyarrow.fs layer — the manifest works unchanged against
+``s3://.../ix`` index roots.  ``load_manifest_df`` exposes the whole
+manifest as a DataFrame for inspection.
 """
 
 from __future__ import annotations
@@ -24,7 +26,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import tempfile
 
 
 def corpus_fingerprint(corpus_path: str, conf: dict | None = None) -> str:
@@ -43,25 +44,28 @@ def corpus_fingerprint(corpus_path: str, conf: dict | None = None) -> str:
 
 class Manifest:
     def __init__(self, index_dir: str) -> None:
+        from horus_ner_spark import catalog
+
         self.dir = os.path.join(index_dir, "_manifest")
-        os.makedirs(self.dir, exist_ok=True)
+        catalog.fs_makedirs(self.dir)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.dir, f"{stage}.json")
 
     def stage_complete(self, stage: str, fingerprint: str, output_path: str) -> bool:
+        from horus_ner_spark import catalog
+
         p = self._path(stage)
-        if not os.path.exists(p):
+        if not catalog.fs_exists(p):
             return False
         try:
-            with open(p) as f:
-                rec = json.load(f)
+            rec = catalog.fs_read_json(p)
         except (json.JSONDecodeError, OSError):
             return False
         if rec.get("status") != "complete" or rec.get("input_fingerprint") != fingerprint:
             return False
         # output must still exist and carry a parquet success marker
-        return os.path.exists(os.path.join(output_path, "_SUCCESS"))
+        return catalog.fs_exists(os.path.join(output_path, "_SUCCESS"))
 
     def commit_stage(
         self,
@@ -75,6 +79,8 @@ class Manifest:
         ``partitions``: list of per-partition metric dicts, e.g.
         ``{"partition_id": 3, "postings_emitted": 123, "bytes_compressed": 456}``.
         """
+        from horus_ner_spark import catalog
+
         rec = {
             "stage": stage,
             "status": "complete",
@@ -82,25 +88,22 @@ class Manifest:
             "partitions": partitions,
             "totals": totals or {},
         }
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(rec, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._path(stage))
+        catalog.fs_write_json_atomic(self._path(stage), rec)
 
     def read_stage(self, stage: str) -> dict | None:
+        from horus_ner_spark import catalog
+
         p = self._path(stage)
-        if not os.path.exists(p):
+        if not catalog.fs_exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        return catalog.fs_read_json(p)
 
     def rows(self) -> list[dict]:
+        from horus_ner_spark import catalog
+
         out = []
-        for fn in sorted(os.listdir(self.dir)):
-            if not fn.endswith(".json"):
-                continue
-            with open(os.path.join(self.dir, fn)) as f:
-                rec = json.load(f)
+        for rel, _sz in catalog.list_data_files(self.dir, suffix=".json"):
+            rec = catalog.fs_read_json(os.path.join(self.dir, rel))
             for part in rec.get("partitions", [{}]):
                 out.append(
                     {

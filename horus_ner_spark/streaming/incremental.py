@@ -36,6 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from horus_ner_spark import catalog
+
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 DEFAULT_FANOUT = 4
@@ -62,20 +64,18 @@ def active_units(index_root: str) -> list[tuple[int, str]]:
     absorbed: set[str] = set()
     tiers: list[tuple[int, str]] = []
     tdir = os.path.join(index_root, _TIER_DIR)
-    if os.path.isdir(tdir):
-        for name in sorted(os.listdir(tdir)):
-            meta = os.path.join(tdir, name, "inputs.json")
-            if not os.path.exists(meta):
-                continue  # incomplete compaction output — ignored, redone
-            with open(meta) as f:
-                absorbed.update(json.load(f)["inputs"])
-            tiers.append((_tier_level(name), os.path.join(tdir, name)))
+    for name in catalog.fs_list_dirs(tdir):
+        meta = os.path.join(tdir, name, "inputs.json")
+        if not catalog.fs_exists(meta):
+            continue  # incomplete compaction output — ignored, redone
+        absorbed.update(catalog.fs_read_json(meta)["inputs"])
+        tiers.append((_tier_level(name), os.path.join(tdir, name)))
     segs = [
         (0, os.path.join(index_root, d, "ix"))
-        for d in sorted(os.listdir(index_root))
+        for d in catalog.fs_list_dirs(index_root)
         if d.startswith("seg_")
         # a unit is live only once fully built (postings is the last stage)
-        and os.path.exists(
+        and catalog.fs_exists(
             os.path.join(index_root, d, "ix", "postings.parquet", "_SUCCESS")
         )
     ]
@@ -100,9 +100,8 @@ def _unit_age_key(path: str) -> tuple:
     if base.startswith("seg_"):
         return (0, int(base[4:]), "")
     meta = os.path.join(path, "inputs.json")
-    if os.path.exists(meta):
-        with open(meta) as f:
-            m = json.load(f)
+    if catalog.fs_exists(meta):
+        m = catalog.fs_read_json(meta)
         if "seq" in m:
             return (0, int(m["seq"]), os.path.basename(path))
     return (1, 0, os.path.basename(path))
@@ -144,12 +143,11 @@ def compact_tiers(
         ).hexdigest()[:10]
         out_dir = os.path.join(index_root, _TIER_DIR, name)
         meta = os.path.join(out_dir, "inputs.json")
-        if not os.path.exists(meta):  # replayed compaction -> skip merge
+        if not catalog.fs_exists(meta):  # replayed compaction -> skip merge
             merge_indexes(spark, [IndexPaths(p) for p in inputs], out_dir)
-            tmp = meta + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"inputs": keys, "level": lvl + 1, "seq": seq}, f)
-            os.replace(tmp, meta)
+            catalog.fs_write_json_atomic(
+                meta, {"inputs": keys, "level": lvl + 1, "seq": seq}
+            )
         n_merges += 1
 
 
@@ -159,33 +157,26 @@ def gc_absorbed_units(index_root: str) -> list[str]:
     so compaction bookkeeping and idempotence are unaffected).  Segment
     corpus drops are kept so a checkpoint replay can rebuild; a rebuilt
     absorbed unit is simply inactive.  Returns the removed paths."""
-    import shutil
-
     live = {p for _lvl, p in active_units(index_root)}
     absorbed: set[str] = set()
     tdir = os.path.join(index_root, _TIER_DIR)
-    if os.path.isdir(tdir):
-        for name in sorted(os.listdir(tdir)):
-            meta = os.path.join(tdir, name, "inputs.json")
-            if os.path.exists(meta):
-                with open(meta) as f:
-                    absorbed.update(json.load(f)["inputs"])
+    for name in catalog.fs_list_dirs(tdir):
+        meta = os.path.join(tdir, name, "inputs.json")
+        if catalog.fs_exists(meta):
+            absorbed.update(catalog.fs_read_json(meta)["inputs"])
     removed = []
     for key in sorted(absorbed):
         path = os.path.join(index_root, key)
-        if path in live or not os.path.isdir(path):
+        if path in live or not catalog.fs_exists(path):
             continue
-        if key.startswith(_TIER_DIR + os.sep):
+        if key.startswith(_TIER_DIR + "/"):
             # an absorbed TIER keeps its inputs.json: deleting it would
             # resurrect ITS absorbed inputs as active units
-            for entry in os.listdir(path):
-                if entry == "inputs.json":
-                    continue
-                full = os.path.join(path, entry)
-                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            for entry in catalog.fs_list_dirs(path):
+                catalog.fs_remove_tree(os.path.join(path, entry))
             removed.append(path)
         else:
-            shutil.rmtree(path)
+            catalog.fs_remove_tree(path)
             removed.append(path)
     return removed
 
@@ -214,12 +205,12 @@ def incremental_index_stream(
     same contract, this is the single code point."""
     from horus_ner_spark.index.build import build_index, with_doc_id
 
-    os.makedirs(index_root, exist_ok=True)
+    catalog.fs_makedirs(index_root)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         seg_root = os.path.join(index_root, f"seg_{batch_id}")
         seg_corpus = os.path.join(seg_root, "corpus.parquet")
-        if not os.path.exists(os.path.join(seg_corpus, "_SUCCESS")):
+        if not catalog.fs_exists(os.path.join(seg_corpus, "_SUCCESS")):
             out = batch_df
             if dedup_ingest:
                 existing = None

@@ -22,6 +22,41 @@ def test_iceberg_refs_fail_fast(monkeypatch):
         catalog.list_data_files("/nonexistent")
 
 
+def test_fs_layer_local_roundtrip(tmp_path):
+    """The pyarrow.fs-backed helpers (the object-store switch point) behave
+    on local paths: atomic JSON round-trip, dir listing, recursive file
+    listing, tree removal."""
+    root = str(tmp_path / "fsroot")
+    catalog.fs_makedirs(root + "/a/b")
+    catalog.fs_makedirs(root + "/c")
+    assert catalog.fs_list_dirs(root) == ["a", "c"]
+    assert catalog.fs_list_dirs(root + "/missing") == []
+    meta = root + "/a/inputs.json"
+    catalog.fs_write_json_atomic(meta, {"inputs": ["x"], "seq": 3})
+    assert catalog.fs_exists(meta)
+    assert catalog.fs_read_json(meta) == {"inputs": ["x"], "seq": 3}
+    # no stray .tmp left behind; listing sees the data file, skips _ files
+    with open(root + "/a/data.parquet", "w") as f:
+        f.write("d")
+    with open(root + "/a/_SUCCESS", "w") as f:
+        f.write("")
+    files = catalog.list_data_files(root)
+    assert [p for p, _ in files] == ["a/data.parquet", "a/inputs.json"]
+    catalog.fs_remove_tree(root + "/a")
+    assert not catalog.fs_exists(meta)
+    assert catalog.fs_list_dirs(root) == ["c"]
+
+
+def test_fs_layer_uri_routing():
+    """A URI ref routes through pyarrow.fs scheme dispatch — the object
+    store deployment is a path-string switch (mock scheme must reach
+    FileSystem.from_uri and fail THERE, not in a POSIX call)."""
+    import pyarrow.lib
+
+    with pytest.raises((pyarrow.lib.ArrowInvalid, OSError)):
+        catalog.filesystem("notascheme://bucket/key")
+
+
 def test_manifest_exposes_wall_s(spark, tmp_path):
     from horus_ner_spark.corpus import write_corpus
     from horus_ner_spark.index.manifest import load_manifest_df
