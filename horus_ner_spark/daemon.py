@@ -1,0 +1,162 @@
+"""Always-on query daemon — the engine's third lifecycle surface.
+
+The reference ships three entry points: batch feature extraction, model
+training, and an always-on REST annotator that answers one request at a
+time from pre-loaded state (reference: webservice/rest.py:16-21,47-61 — a
+Flask app with one global extractor built at import).  The first two map
+to build_index/submit_job; this module completes the map (SURVEY.md §3):
+a thin HTTP front end over :class:`IndexServer`, stdlib-only
+(ThreadingHTTPServer), holding the tiny corpus stats + LRU term cache in
+process and reading only pruned postings per query.
+
+Endpoints (JSON over HTTP):
+
+- ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
+  "mode": "OR"|"AND"|"PHRASE"} -> {"results": [{rank, doc_id, score}],
+  "latency_ms": float}
+- ``POST /search_batch``  {"queries": [{query_id, query_text, lang, k}]}
+  -> {"results": [...], "latency_ms": float}
+- ``GET /stats`` -> corpus stats + served-query latency summary
+  (count, p50_ms, p99_ms) — the numbers BENCH.md's serve section reports.
+
+The daemon is deliberately a LIBRARY class (start()/shutdown(), ephemeral
+port) so tests and deployments both drive it; ``python -m
+horus_ner_spark.daemon <index_dir> [port]`` runs it standalone.  A fleet
+of these processes against the same index files on shared storage is the
+serving plane; Spark remains the build plane (serve.py's design note).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from horus_ner_spark.index.serve import IndexServer
+
+
+def _percentile(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    i = min(len(sorted_vals) - 1, max(0, round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[int(i)]
+
+
+class ServeDaemon:
+    """HTTP front end over one IndexServer (single dir or segment list)."""
+
+    def __init__(
+        self,
+        index_dir: str | list[str],
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.server = IndexServer(index_dir)
+        self._latencies_ms: list[float] = []
+        self._lock = threading.Lock()
+        daemon = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet; latency is tracked instead
+                pass
+
+            def _reply(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/stats":
+                    return self._reply(404, {"error": "unknown path"})
+                with daemon._lock:
+                    lats = sorted(daemon._latencies_ms)
+                self._reply(
+                    200,
+                    {
+                        "n_docs": daemon.server.n_docs,
+                        "avgdl": daemon.server.avgdl,
+                        "queries_served": len(lats),
+                        "p50_ms": _percentile(lats, 0.50),
+                        "p99_ms": _percentile(lats, 0.99),
+                    },
+                )
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return self._reply(400, {"error": "bad json"})
+                t0 = time.monotonic()
+                try:
+                    if self.path == "/search":
+                        df = daemon.server.search(
+                            req.get("query_text", ""),
+                            req.get("lang", "python"),
+                            int(req.get("k", 10)),
+                            req.get("mode", "OR"),
+                        )
+                    elif self.path == "/search_batch":
+                        df = daemon.server.search_batch(req.get("queries", []))
+                    else:
+                        return self._reply(404, {"error": "unknown path"})
+                except Exception as exc:  # surface, don't kill the daemon
+                    return self._reply(500, {"error": str(exc)})
+                ms = (time.monotonic() - t0) * 1000.0
+                with daemon._lock:
+                    daemon._latencies_ms.append(ms)
+                self._reply(
+                    200,
+                    {
+                        "results": df.to_dict(orient="records"),
+                        "latency_ms": round(ms, 3),
+                    },
+                )
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "ServeDaemon":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._httpd.server_close()
+
+    def latency_summary(self) -> dict:
+        with self._lock:
+            lats = sorted(self._latencies_ms)
+        return {
+            "queries_served": len(lats),
+            "p50_ms": _percentile(lats, 0.50),
+            "p99_ms": _percentile(lats, 0.99),
+        }
+
+
+def main(argv: list[str]) -> None:
+    index_dir = argv[0]
+    port = int(argv[1]) if len(argv) > 1 else 8765
+    d = ServeDaemon(index_dir, host="0.0.0.0", port=port).start()
+    print(f"serving {index_dir} on :{d.port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        d.shutdown()
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])

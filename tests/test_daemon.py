@@ -1,0 +1,78 @@
+"""Serve daemon e2e: HTTP answers over a built index are identical to the
+library surface; latency accounting works; errors don't kill the daemon."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from horus_ner_spark.corpus import query_set
+from horus_ner_spark.daemon import ServeDaemon
+from horus_ner_spark.index.serve import IndexServer
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=30
+    ) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_daemon_matches_library_and_tracks_latency(spark, sf001_index):
+    _cp, paths = sf001_index
+    daemon = ServeDaemon(paths.root).start()
+    try:
+        lib = IndexServer(paths.root)
+        qs = query_set()
+        for q in qs[:4]:
+            code, resp = _post(
+                daemon.port, "/search",
+                {"query_text": q["query_text"], "lang": q["lang"],
+                 "k": q["k"]},
+            )
+            assert code == 200
+            want = [
+                {"rank": int(r.rank), "doc_id": int(r.doc_id),
+                 "score": float(r.score)}
+                for r in lib.search(
+                    q["query_text"], q["lang"], q["k"]
+                ).itertuples()
+            ]
+            assert resp["results"] == want
+            assert resp["latency_ms"] > 0
+        # batch surface
+        code, resp = _post(daemon.port, "/search_batch", {"queries": qs})
+        assert code == 200 and len(resp["results"]) > 0
+        # phrase mode through HTTP
+        code, resp = _post(
+            daemon.port, "/search",
+            {"query_text": "parse_config", "lang": "python", "k": 5,
+             "mode": "PHRASE"},
+        )
+        assert code == 200
+        # unknown path surfaces a 404 without killing the daemon
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(daemon.port, "/nope", {})
+        assert exc.value.code == 404
+        # stats: p50/p99 over everything served so far
+        code, stats = _get(daemon.port, "/stats")
+        assert code == 200
+        assert stats["queries_served"] == 6
+        assert stats["n_docs"] == daemon.server.n_docs > 0
+        assert 0 < stats["p50_ms"] <= stats["p99_ms"]
+    finally:
+        daemon.shutdown()
+    # post-shutdown the summary is still readable
+    assert daemon.latency_summary()["queries_served"] >= 6
