@@ -32,6 +32,28 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CORPUS_SF = float(os.environ.get("BENCH_CORPUS_SF", "0.1"))
 
 
+def cpu_calibration() -> float:
+    """Seconds for a fixed single-thread workload (sha256 + numpy dot).
+
+    This host's delivered CPU drifts ±40% between windows (BENCH.md), so
+    every bench run stamps the same fixed workload at start and end; cross-
+    run comparisons divide by the calibration ratio instead of guessing."""
+    import hashlib
+    import time as _t
+
+    import numpy as np
+
+    t0 = _t.perf_counter()
+    buf = b"\xa5" * (1 << 20)
+    h = hashlib.sha256()
+    for _ in range(200):
+        h.update(buf)
+    a = np.arange(1_000_000, dtype=np.float64)
+    for _ in range(50):
+        (a * 1.0001).sum()
+    return round(_t.perf_counter() - t0, 4)
+
+
 def main() -> None:
     from horus_ner_spark.corpus import n_docs_for_sf, query_set, write_corpus
     from horus_ner_spark.index.build import build_index
@@ -42,6 +64,7 @@ def main() -> None:
     spark = get_spark("horus-bench", cores=CPUS,
                       shuffle_partitions=int(CPUS) if CPUS.isdigit() else 32)
     timings: dict[str, float] = {}
+    calib_start = cpu_calibration()
 
     # ── corpus gen (not part of the build metric) ───────────────────────────
     work = f"/tmp/horus_bench_sf{CORPUS_SF}"
@@ -93,6 +116,53 @@ def main() -> None:
     ).collect()
     timings["distributed_single_query"] = round(time.perf_counter() - t0, 3)
 
+    # distributed PHRASE (round 3: doc-id range-bucket parallelism)
+    t0 = time.perf_counter()
+    bm25_distributed(
+        spark, paths,
+        [{"query_id": 901, "query_text": "hash_join mergeSort",
+          "lang": "python", "k": 10, "mode": "PHRASE"}],
+    ).collect()
+    timings["distributed_phrase_query"] = round(time.perf_counter() - t0, 3)
+
+    # HTTP serving daemon (round 3): same query set through the REST surface;
+    # daemon-side accounting gives p50/p99 incl. HTTP + JSON overhead
+    import json as _json
+    import urllib.request
+
+    from horus_ner_spark.daemon import ServeDaemon
+
+    daemon = ServeDaemon(paths.root).start()
+    t0 = time.perf_counter()
+    for _ in range(2):  # cold + warm, matching the library measurement
+        for q in query_set():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{daemon.port}/search",
+                data=_json.dumps(
+                    {"query_text": q["query_text"], "lang": q["lang"],
+                     "k": q["k"]}
+                ).encode(),
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=60).read()
+    timings["serve_daemon_http_batch"] = round(time.perf_counter() - t0, 3)
+    daemon_lat = daemon.latency_summary()
+    daemon.shutdown()
+
+    # compaction (round 3: per-(term,rb) parallel re-block, no tf shuffle):
+    # merge the 100k-doc index with a fresh 10k-doc segment — the steady-
+    # state background cost of the streaming tier design
+    from horus_ner_spark.index.merge import merge_indexes
+
+    work2 = f"{work}/seg2"
+    t0 = time.perf_counter()
+    seg2_corpus = write_corpus(spark, work2, sf=CORPUS_SF / 10, seed=77)
+    paths2 = build_index(spark, seg2_corpus, f"{work2}/ix")
+    timings["seg2_gen_and_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    merge_indexes(spark, [paths, paths2], f"{work}/merged_ix")
+    timings["compact_merge_110pct"] = round(time.perf_counter() - t0, 3)
+
     # ── headline catalog queries over driver testdata ───────────────────────
     qfns = registry.queries()
     for name in (
@@ -107,6 +177,15 @@ def main() -> None:
         qfns[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # per-stage build wall_s straight from the manifest (not file mtimes)
+    from horus_ner_spark.index.manifest import Manifest
+
+    man = Manifest(paths.root)
+    stage_wall = {
+        s: (man.read_stage(s) or {}).get("totals", {}).get("wall_s")
+        for s in ("docs", "tf", "stats", "term_stats", "postings")
+    }
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "e2e_bench_total",
@@ -118,6 +197,10 @@ def main() -> None:
         "n_docs_indexed": n_docs,
         "bm25_serve_p50_s": round(p50, 4),
         "bm25_serve_p99_s": round(p99, 4),
+        "daemon_http_p50_ms": round(daemon_lat["p50_ms"], 3),
+        "daemon_http_p99_ms": round(daemon_lat["p99_ms"], 3),
+        "build_stage_wall_s": stage_wall,
+        "cpu_calib_s": {"start": calib_start, "end": cpu_calibration()},
         "cores": CPUS,
     }))
     spark.stop()
