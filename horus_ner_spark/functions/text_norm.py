@@ -50,3 +50,33 @@ def duckdb_unescape_sql(expr: str) -> str:
         repl = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+# Quote normalization (SURVEY §2 F8).  The reference folds nltk
+# word_tokenize's quote renderings back to a plain double quote before
+# aligning token streams (reference: src/core/feature_extraction/
+# util.py:193-198,573-579 — `` and '' are nltk's open/close forms of ");
+# web corpora add the typographic variants.  Double forms first, so the
+# single-quote pass never sees half of a ``/'' pair.
+QUOTE_MAP: list[tuple[str, str]] = [
+    ("``|''|“|”|„", '"'),  # `` '' “ ” „
+    ("‘|’|‚|`|´", "'"),  # ‘ ’ ‚ ` ´
+]
+
+
+def quote_normalize_expr(col: str | Column) -> Column:
+    """Fold quote variants to straight ASCII quotes JVM-side."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in QUOTE_MAP:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def duckdb_quote_sql(expr: str) -> str:
+    """DuckDB mirror of ``quote_normalize_expr`` (same patterns, order)."""
+    out = expr
+    for pat, repl in QUOTE_MAP:
+        pat = pat.replace("'", "''")
+        repl = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from horus_ner_spark.functions.text_norm import (
+    duckdb_quote_sql,
     duckdb_unescape_sql,
     html_unescape_expr,
+    quote_normalize_expr,
 )
 from horus_ner_spark.sources.feature_csv import (
     read_feature_csv,
@@ -95,8 +97,31 @@ FROM documents
 """
 
 
+def quote_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote normalization (F8) as a pure Catalyst expression, over a
+    quote-laden derivation of the documents table (nltk ``/'' forms plus
+    typographic variants wrapped around the fixture text — the fixture
+    itself carries none, so the wrap keeps the check non-vacuous)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wrapped = F.concat(
+        F.lit("``q'' “c” „g“ ‘s’ ‚l‘ `b´ "), F.col("text")
+    )
+    return docs.select(
+        "doc_id", quote_normalize_expr(wrapped).alias("norm_text")
+    )
+
+
+_QUOTE_WRAP_SQL = "'``q'''' “c” „g“ ‘s’ ‚l‘ `b´ ' || text"
+
+QUOTE_NORMALIZE_SQL = f"""
+SELECT doc_id, {duckdb_quote_sql(_QUOTE_WRAP_SQL)} AS norm_text
+FROM documents
+"""
+
+
 ENTRIES: dict[str, tuple] = {
     "feature_csv_roundtrip": (feature_csv_roundtrip, _FEATURE_ORACLE_SQL),
     "json_export_roundtrip": (json_export_roundtrip, _FEATURE_ORACLE_SQL),
     "html_normalize_docs": (html_normalize_docs, HTML_NORMALIZE_SQL),
+    "quote_normalize_docs": (quote_normalize_docs, QUOTE_NORMALIZE_SQL),
 }
