@@ -139,6 +139,15 @@ def list_data_files(ref: str, suffix: str | None = None) -> list[tuple[str, int]
 
     require_path_refs("list_data_files")
     fs, path = filesystem(ref)
+    top = fs.get_file_info(path)
+    if top.type == pafs.FileType.NotFound:
+        return []
+    if top.type == pafs.FileType.File:
+        # a single-file table (e.g. one staged corpus parquet) is its own
+        # data-file listing
+        if suffix is not None and not top.base_name.endswith(suffix):
+            return []
+        return [(top.base_name, int(top.size))]
     infos = fs.get_file_info(pafs.FileSelector(path, recursive=True))
     out: list[tuple[str, int]] = []
     for i in infos:
