@@ -109,13 +109,17 @@ def fs_read_json(ref: str):
 
 def fs_write_json_atomic(ref: str, obj) -> None:
     import json
+    import uuid
 
     from pyarrow import fs as pafs
 
     fs, path = filesystem(ref)
     data = json.dumps(obj, indent=1, sort_keys=True).encode()
     if isinstance(fs, pafs.LocalFileSystem):  # POSIX: tmp + atomic rename
-        tmp = path + ".tmp"
+        # unique temp name: concurrent writers of the same JSON (two
+        # drivers committing the same stage) must never interleave into
+        # one temp file — last rename wins with a complete document
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:12]}"
         with fs.open_output_stream(tmp) as f:
             f.write(data)
         fs.move(tmp, path)

@@ -31,9 +31,14 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from horus_ner_spark.index.serve import IndexServer
+
+# latency window: enough for a faithful p99, bounded so an always-on
+# daemon never grows memory with query count
+_LAT_WINDOW = 100_000
 
 
 def _percentile(sorted_vals: list[float], q: float) -> float:
@@ -53,7 +58,8 @@ class ServeDaemon:
         port: int = 0,
     ) -> None:
         self.server = IndexServer(index_dir)
-        self._latencies_ms: list[float] = []
+        self._latencies_ms: deque[float] = deque(maxlen=_LAT_WINDOW)
+        self._served = 0
         self._lock = threading.Lock()
         daemon = self
 
@@ -72,16 +78,13 @@ class ServeDaemon:
             def do_GET(self):
                 if self.path != "/stats":
                     return self._reply(404, {"error": "unknown path"})
-                with daemon._lock:
-                    lats = sorted(daemon._latencies_ms)
+                s = daemon.latency_summary()
                 self._reply(
                     200,
                     {
                         "n_docs": daemon.server.n_docs,
                         "avgdl": daemon.server.avgdl,
-                        "queries_served": len(lats),
-                        "p50_ms": _percentile(lats, 0.50),
-                        "p99_ms": _percentile(lats, 0.99),
+                        **s,
                     },
                 )
 
@@ -109,6 +112,7 @@ class ServeDaemon:
                 ms = (time.monotonic() - t0) * 1000.0
                 with daemon._lock:
                     daemon._latencies_ms.append(ms)
+                    daemon._served += 1
                 self._reply(
                     200,
                     {
@@ -135,10 +139,13 @@ class ServeDaemon:
         self._httpd.server_close()
 
     def latency_summary(self) -> dict:
+        """p50/p99 over the trailing latency window (bounded deque), plus
+        the all-time served count."""
         with self._lock:
             lats = sorted(self._latencies_ms)
+            served = self._served
         return {
-            "queries_served": len(lats),
+            "queries_served": served,
             "p50_ms": _percentile(lats, 0.50),
             "p99_ms": _percentile(lats, 0.99),
         }

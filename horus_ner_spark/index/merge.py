@@ -295,11 +295,12 @@ def merge_indexes(
     normalized = tagged.mapInPandas(split, _TAGGED_SCHEMA)
 
     demoted: list[str] = []
+    persisted = None
     if overlap:
         # phase 2 (overlapping segments only): exact deduped df for the
         # maybe-hot terms; any that fall back under the threshold after
         # dedupe are re-keyed to a single cold run (canonical form)
-        normalized = normalized.persist()
+        persisted = normalized = normalized.persist()
         exact = (
             normalized.join(F.broadcast(maybe_hot.select("term")), "term")
             .groupBy("term", "rb")
@@ -329,8 +330,10 @@ def merge_indexes(
         out.postings,
         partition_by=("pbucket",),
     )
-    if overlap:
-        normalized.unpersist()
+    if persisted is not None:
+        # unpersist the dataframe that was actually cached: ``normalized``
+        # may have been rebound to the rb-demotion projection above
+        persisted.unpersist()
 
     # term stats FROM the merged blocks: df is pure footer metadata
     # (n_postings sums), cf a varbyte sum of each block's tfs — no tf union

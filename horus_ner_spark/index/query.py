@@ -696,6 +696,13 @@ def bm25_distributed(
     }
     idfs = {t: bm25.idf(n_docs, term_df[t]) for t in term_df}
 
+    for q in queries:  # unknown modes must not fall through to OR scoring
+        m = q.get("mode", "OR").upper()
+        if m not in ("OR", "AND", "PHRASE"):
+            raise ValueError(
+                f"unknown query mode {q.get('mode')!r} (query_id "
+                f"{q.get('query_id')}); expected OR, AND or PHRASE"
+            )
     conj = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
     or_queries = [q for q in queries if q.get("mode", "OR").upper() == "OR"]
     parts = []
@@ -713,14 +720,17 @@ def bm25_distributed(
         return out.orderBy("query_id", "rank")
 
     or_qids = {q["query_id"] for q in or_queries}
-    qt = spark.createDataFrame(
-        [r for r in qt_rows if r["query_id"] in or_qids],
-        "query_id int, term string",
-    )
+    or_rows = [r for r in qt_rows if r["query_id"] in or_qids]
+    qt = spark.createDataFrame(or_rows, "query_id int, term string")
+    # scan exactly the OR queries' terms: in a mixed batch, a conjunctive
+    # query's hot term must not have its whole block set read here only to
+    # be dropped by the join below
+    or_terms = sorted({r["term"] for r in or_rows})
+    or_buckets = sorted({term_bucket(t, n_pbuckets) for t in or_terms})
     blocks = (
         spark.read.parquet(paths.postings)
-        .filter(F.col("pbucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("pbucket").isin(or_buckets))
+        .filter(F.col("term").isin(or_terms))
         .join(F.broadcast(qt), "term")
         .select("query_id", "term", "doc_ids_vb", "tfs_vb", "doclens_vb")
     )

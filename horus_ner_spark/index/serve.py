@@ -34,6 +34,7 @@ fallback and its AND/PHRASE cross-segment bugs are gone).
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -55,6 +56,17 @@ _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
     "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
 ]
+
+_MODES = ("OR", "AND", "PHRASE")
+
+
+def _valid_mode(mode: str) -> str:
+    """Uppercase + validate: an unknown mode must fail loudly, never fall
+    through to the OR kernel with conjunctive expectations."""
+    m = mode.upper()
+    if m not in _MODES:
+        raise ValueError(f"unknown query mode {mode!r}; expected one of {_MODES}")
+    return m
 
 
 class IndexServer:
@@ -123,6 +135,11 @@ class IndexServer:
         self.n_pbuckets = n_pbuckets
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
         self._cache_terms = cache_terms
+        # the daemon serves from concurrent handler threads: LRU bookkeeping
+        # (get/move_to_end/insert/evict) must be atomic.  Storage fetches
+        # stay OUTSIDE the lock — two threads may race to fetch the same
+        # missing term (benign duplicate read), but never corrupt the dict
+        self._cache_lock = threading.Lock()
 
     def _load_terms(self, terms: list[str]) -> dict[str, tuple[int, pd.DataFrame]]:
         """term -> (df, blocks) for every term present in the index,
@@ -133,25 +150,27 @@ class IndexServer:
         whole term_stats/postings bucket from storage (round-1 review)."""
         out: dict[str, tuple[int, pd.DataFrame]] = {}
         misses: list[str] = []
-        for t in terms:
-            hit = self._cache.get(t)
-            if hit is not None:
-                self._cache.move_to_end(t)
-                if hit[0] > 0:  # df=0 sentinel marks a confirmed-absent term
-                    out[t] = hit
-            else:
-                misses.append(t)
+        with self._cache_lock:
+            for t in terms:
+                hit = self._cache.get(t)
+                if hit is not None:
+                    self._cache.move_to_end(t)
+                    if hit[0] > 0:  # df=0 sentinel: confirmed-absent term
+                        out[t] = hit
+                else:
+                    misses.append(t)
         if misses:
             dfs, blocks = self._fetch(misses, _BLOCK_COLS)
-            for t in misses:
-                if dfs.get(t, 0) > 0:
-                    entry = (dfs[t], blocks[blocks["term"] == t])
-                    out[t] = entry
-                else:  # negative entry: absent terms are served from the LRU
-                    entry = (0, blocks.iloc[0:0])
-                self._cache[t] = entry
-                if len(self._cache) > self._cache_terms:
-                    self._cache.popitem(last=False)
+            with self._cache_lock:
+                for t in misses:
+                    if dfs.get(t, 0) > 0:
+                        entry = (dfs[t], blocks[blocks["term"] == t])
+                        out[t] = entry
+                    else:  # negative entry: absent terms served from the LRU
+                        entry = (0, blocks.iloc[0:0])
+                    self._cache[t] = entry
+                    if len(self._cache) > self._cache_terms:
+                        self._cache.popitem(last=False)
         return out
 
     def _fetch(self, terms: list[str], cols: list[str]):
@@ -201,7 +220,7 @@ class IndexServer:
         contiguously (positional index)."""
         terms = sorted(set(tokenize(query_text, lang)))
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
-        mode = mode.upper()
+        mode = _valid_mode(mode)
         if mode == "PHRASE":
             if not terms:
                 return empty
@@ -257,20 +276,44 @@ class IndexServer:
 
     def search_batch(self, queries: list[dict]) -> pd.DataFrame:
         """Many queries -> (query_id, rank, doc_id, score); one storage read
-        for the union of all query terms."""
+        for the union of all OR/AND query terms.  PHRASE queries route
+        through :meth:`search` per query — their position streams bypass
+        the LRU by design (see _BLOCK_COLS), so there is nothing to batch."""
         per_q = {
             q["query_id"]: sorted(set(tokenize(q["query_text"], q.get("lang", "python"))))
             for q in queries
         }
-        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        modes = {
+            q["query_id"]: _valid_mode(q.get("mode", "OR")) for q in queries
+        }
+        all_terms = sorted(
+            {
+                t
+                for q in queries
+                if modes[q["query_id"]] != "PHRASE"
+                for t in per_q[q["query_id"]]
+            }
+        )
         loaded = self._load_terms(all_terms)
         frames = []
         for q in queries:
             qid = q["query_id"]
+            if modes[qid] == "PHRASE":
+                res = self.search(
+                    q["query_text"], q.get("lang", "python"),
+                    q.get("k", 10), "PHRASE",
+                )
+                if len(res):
+                    frames.append(
+                        res.assign(query_id=qid)[
+                            ["query_id", "rank", "doc_id", "score"]
+                        ]
+                    )
+                continue
             sub = {t: loaded[t][1] for t in per_q[qid] if t in loaded}
             dfs = {t: loaded[t][0] for t in per_q[qid] if t in loaded}
             rows = self._run(
-                sub, dfs, q.get("k", 10), q.get("mode", "OR").upper(),
+                sub, dfs, q.get("k", 10), modes[qid],
                 require_all=len(per_q[qid]),
             )
             if not rows:

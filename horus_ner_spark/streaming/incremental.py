@@ -99,12 +99,24 @@ def _unit_age_key(path: str) -> tuple:
     base = os.path.basename(os.path.dirname(path))  # seg_<N>/ix -> seg_<N>
     if base.startswith("seg_"):
         return (0, int(base[4:]), "")
+    if path in _age_key_cache:
+        return _age_key_cache[path]
     meta = os.path.join(path, "inputs.json")
+    key = (1, 0, os.path.basename(path))
     if catalog.fs_exists(meta):
         m = catalog.fs_read_json(meta)
         if "seq" in m:
-            return (0, int(m["seq"]), os.path.basename(path))
-    return (1, 0, os.path.basename(path))
+            key = (0, int(m["seq"]), os.path.basename(path))
+        # inputs.json is written once when the tier is committed and never
+        # mutated, so the key is safe to memoize — sorting must not issue
+        # one JSON GET per comparison on an object-store index root
+        _age_key_cache[path] = key
+    return key
+
+
+# tier path -> age key; entries only for tiers whose inputs.json existed
+# (immutable once written)
+_age_key_cache: dict[str, tuple] = {}
 
 
 def compact_tiers(

@@ -160,3 +160,18 @@ def test_distributed_matches_bruteforce(spark, sf001_index, oracle_results):
     assert blocks.count() > 1
     single = _collect_results(bm25_distributed(spark, paths, one, n_tasks=8))
     assert single.get(one[0]["query_id"], []) == oracle_results.get(one[0]["query_id"], [])
+
+
+def test_distributed_rejects_unknown_mode(spark, sf001_index):
+    """Regression (round-3 review): an unrecognized mode must raise, not
+    silently route into the conjunctive fan-out and score via the OR
+    kernel with doc replication."""
+    import pytest
+
+    from horus_ner_spark.index.query import bm25_distributed
+
+    _, paths = sf001_index
+    bad = [{"query_id": 1, "query_text": "stream", "lang": "python",
+            "k": 5, "mode": "PHARSE"}]
+    with pytest.raises(ValueError, match="unknown query mode"):
+        bm25_distributed(spark, paths, bad)

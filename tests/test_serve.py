@@ -232,3 +232,27 @@ def test_duplicate_doc_stats_reconciled_exactly(spark, tmp_path):
         ).values.tolist()
         assert a == b, (q, a, b)
     assert len(multi.search("alpha delta", "en", 10).values.tolist()) > 0
+
+
+def test_search_batch_phrase_and_mode_validation(spark, sf001_index):
+    """Regression (round-3 review): search_batch with mode=PHRASE must
+    return the same rows as per-query search (it used to silently return
+    empty — no phrase tokens, no pos_vb); unknown modes must raise, not
+    fall through to OR scoring."""
+    import pytest
+
+    _corpus_path, paths = sf001_index
+    srv = IndexServer(paths.root)
+    single = srv.search("parse_config", "python", k=5, mode="PHRASE")
+    assert len(single) > 0  # the fixture corpus contains the phrase
+    batch = srv.search_batch([
+        {"query_id": 1, "query_text": "parse_config", "lang": "python",
+         "k": 5, "mode": "PHRASE"},
+        {"query_id": 2, "query_text": "stream buffer", "lang": "python",
+         "k": 5},
+    ])
+    got = batch[batch["query_id"] == 1][["rank", "doc_id", "score"]]
+    assert got.values.tolist() == single.values.tolist()
+    assert len(batch[batch["query_id"] == 2]) > 0
+    with pytest.raises(ValueError, match="unknown query mode"):
+        srv.search("stream", "python", k=5, mode="PHARSE")
