@@ -133,6 +133,22 @@ def fs_remove_tree(ref: str) -> None:
     fs.delete_dir(path)
 
 
+def fs_list_files(ref: str) -> list[str]:
+    """Sorted base names of child FILES of ``ref`` ([] if absent)."""
+    from pyarrow import fs as pafs
+
+    fs, path = filesystem(ref)
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
+        return []
+    infos = fs.get_file_info(pafs.FileSelector(path))
+    return sorted(i.base_name for i in infos if i.type == pafs.FileType.File)
+
+
+def fs_remove_file(ref: str) -> None:
+    fs, path = filesystem(ref)
+    fs.delete_file(path)
+
+
 def list_data_files(ref: str, suffix: str | None = None) -> list[tuple[str, int]]:
     """Sorted (relative path, size) of a table's data files — the single
     listing primitive used by manifest fingerprints and metrics, so only

@@ -534,6 +534,14 @@ def build_index(
              "wall_s": round(time.monotonic() - t0, 3)},
         )
     _maybe_fail("docs")
+    if (man.read_stage("docs") or {}).get("totals", {}).get("n_docs") == 0:
+        # hive-partitioned empty tables (term_stats/postings) write no data
+        # files and cannot be read back — fail here with the real reason
+        # instead of a schema-inference error five stages later.  Streaming
+        # ingestion skips empty (fully deduped) batches before build.
+        raise ValueError(
+            f"cannot build an index over an empty corpus: {corpus_path}"
+        )
 
     # ── Stage B: tf (the single tokenization pass; shuffle-free) ────────────
     if not man.stage_complete("tf", fp, paths.tf):

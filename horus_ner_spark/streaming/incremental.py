@@ -33,6 +33,7 @@ import hashlib
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -157,6 +158,12 @@ def compact_tiers(
         meta = os.path.join(out_dir, "inputs.json")
         if not catalog.fs_exists(meta):  # replayed compaction -> skip merge
             merge_indexes(spark, [IndexPaths(p) for p in inputs], out_dir)
+            # bloom sidecar BEFORE inputs.json: a tier with an inputs.json
+            # always has its filter (built fresh from the merged docs, so
+            # absorbed duplicates don't inflate the fpr)
+            from horus_ner_spark.streaming.bloom import build_unit_bloom
+
+            build_unit_bloom(spark, out_dir)
             catalog.fs_write_json_atomic(
                 meta, {"inputs": keys, "level": lvl + 1, "seq": seq}
             )
@@ -186,6 +193,9 @@ def gc_absorbed_units(index_root: str) -> list[str]:
             # resurrect ITS absorbed inputs as active units
             for entry in catalog.fs_list_dirs(path):
                 catalog.fs_remove_tree(os.path.join(path, entry))
+            for entry in catalog.fs_list_files(path):
+                if entry != "inputs.json":  # e.g. the docs.bloom sidecar
+                    catalog.fs_remove_file(os.path.join(path, entry))
             removed.append(path)
         else:
             catalog.fs_remove_tree(path)
@@ -207,40 +217,85 @@ def incremental_index_stream(
     ``query.bm25_wand_segments(spark, segment_paths(index_root), ...)``.
     Returns the StreamingQuery.
 
-    ``dedup_ingest`` anti-joins each micro-batch against the doc_ids
-    already indexed by the live units, so a re-delivered document never
-    creates a cross-segment duplicate in the first place (first-wins is
-    then trivially exact and the serve-time stale reconciliation in
-    query.py/serve.py collects nothing).  The anti-join reads one pruned
-    int64 column per live unit; at very large live-unit counts a
-    deployment would swap the exact join for per-unit Bloom filters —
-    same contract, this is the single code point."""
+    ``dedup_ingest`` keeps each micro-batch free of already-indexed
+    doc_ids, so a re-delivered document never creates a cross-segment
+    duplicate in the first place (first-wins is then trivially exact and
+    the serve-time stale reconciliation in query.py/serve.py collects
+    nothing).  The dedup is EXACT but Bloom-gated (streaming/bloom.py):
+    every live unit carries a tiny ``docs.bloom`` sidecar; the OR of the
+    sidecars pre-filters the batch, docs the filters rule out (a fresh
+    batch's overwhelming majority) skip the join entirely, and only the
+    bloom-hit sliver goes through the pruned anti-join — per-batch dedup
+    cost is O(batch), not O(total indexed docs).  Units without sidecars
+    (e.g. pre-bloom indexes) fall back to the plain exact join."""
     from horus_ner_spark.index.build import build_index, with_doc_id
+    from horus_ner_spark.streaming.bloom import (
+        build_unit_bloom,
+        load_combined_bloom,
+    )
 
     catalog.fs_makedirs(index_root)
+
+    def _dedup(batch_df: DataFrame, units: list[tuple[int, str]]) -> DataFrame:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        keyed = with_doc_id(batch_df)
+        bloom = load_combined_bloom([p for _lvl, p in units])
+        if bloom is not None:
+            n_bits, k, bits = bloom.n_bits, bloom.k, bloom.bits.tobytes()
+
+            @pandas_udf("boolean")
+            def may_dup(ids: pd.Series) -> pd.Series:
+                from horus_ner_spark.streaming.bloom import DocIdBloom
+
+                bl = DocIdBloom(
+                    n_bits, k, np.frombuffer(bits, dtype=np.uint8)
+                )
+                return pd.Series(bl.may_contain(ids.to_numpy(np.int64)))
+
+            keyed = keyed.withColumn("_maybe_dup", may_dup("doc_id")).persist()
+            suspects = keyed.filter(F.col("_maybe_dup"))
+            if suspects.isEmpty():  # common case: nothing re-delivered
+                out = keyed.drop("_maybe_dup", "doc_id")
+                out = out.localCheckpoint()  # materialize before unpersist
+                keyed.unpersist()
+                return out
+            fresh = keyed.filter(~F.col("_maybe_dup"))
+        else:  # no/mismatched sidecars: every doc is a suspect
+            keyed = keyed.persist()
+            suspects, fresh = keyed, None
+        existing = None
+        for _lvl, p in units:
+            ids = spark.read.parquet(
+                os.path.join(p, "docs.parquet")
+            ).select("doc_id")
+            existing = ids if existing is None else existing.unionByName(ids)
+        kept = suspects.join(existing, "doc_id", "left_anti")
+        out = kept if fresh is None else fresh.unionByName(kept)
+        out = out.drop("_maybe_dup", "doc_id").localCheckpoint()
+        keyed.unpersist()
+        return out
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         seg_root = os.path.join(index_root, f"seg_{batch_id}")
         seg_corpus = os.path.join(seg_root, "corpus.parquet")
+        seg_ix = os.path.join(seg_root, "ix")
         if not catalog.fs_exists(os.path.join(seg_corpus, "_SUCCESS")):
             out = batch_df
             if dedup_ingest:
-                existing = None
-                for _lvl, p in active_units(index_root):
-                    ids = spark.read.parquet(
-                        os.path.join(p, "docs.parquet")
-                    ).select("doc_id")
-                    existing = (
-                        ids if existing is None else existing.unionByName(ids)
-                    )
-                if existing is not None:
-                    out = (
-                        with_doc_id(batch_df)
-                        .join(existing, "doc_id", "left_anti")
-                        .drop("doc_id")
-                    )
+                units = active_units(index_root)
+                if units:
+                    out = _dedup(batch_df, units)
             out.write.mode("overwrite").parquet(seg_corpus)
-        build_index(spark, seg_corpus, os.path.join(seg_root, "ix"))
+        if spark.read.parquet(seg_corpus).isEmpty():
+            # a 100%-re-delivered batch dedupes to nothing: no unit is
+            # built (active_units requires a postings _SUCCESS, so the
+            # segment dir stays inactive; replay re-skips identically)
+            return
+        build_index(spark, seg_corpus, seg_ix)
+        # sidecar for the fresh segment (idempotent overwrite on replay)
+        build_unit_bloom(spark, seg_ix)
         compact_tiers(spark, index_root, fanout)
 
     return (
