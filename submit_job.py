@@ -17,9 +17,17 @@ from horus_ner_spark.session import build_package_zip; print(build_package_zip()
     spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
         merge --segments /data/ix_a /data/ix_b --out /data/ix_merged
 
+    spark-submit ... submit_job.py \
+        serve --index /data/ix [--segments /data/seg0/ix /data/seg1/ix] \
+        --port 8765
+
 Each subcommand prints one JSON line with its result summary; ``query``
-additionally prints one JSON line per result row.  Iceberg catalogs plug in
-via HORUS_TABLE_FORMAT + --conf (see horus_ner_spark/catalog.py).
+additionally prints one JSON line per result row.  ``serve`` starts the
+always-on HTTP daemon (horus_ner_spark/daemon.py) and blocks — it never
+touches the SparkSession (serving is the pyarrow data plane; a fleet of
+serve processes shares index files on common storage while Spark remains
+the build plane).  Iceberg catalogs plug in via HORUS_TABLE_FORMAT +
+--conf (see horus_ner_spark/catalog.py).
 """
 
 from __future__ import annotations
@@ -47,7 +55,30 @@ def main() -> None:
     m = sub.add_parser("merge", help="sort-merge index segments")
     m.add_argument("--segments", nargs="+", required=True)
     m.add_argument("--out", required=True)
+    s = sub.add_parser("serve", help="always-on HTTP BM25 daemon (no Spark)")
+    s.add_argument("--index", help="one built index dir")
+    s.add_argument("--segments", nargs="+",
+                   help="live tier set (oldest first) instead of --index")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8765)
     args = p.parse_args()
+
+    if args.cmd == "serve":
+        if bool(args.index) == bool(args.segments):
+            p.error("serve needs exactly one of --index / --segments")
+        from horus_ner_spark.daemon import ServeDaemon
+
+        d = ServeDaemon(
+            args.index or args.segments, host=args.host, port=args.port
+        ).start()
+        print(json.dumps({"cmd": "serve", "host": d.host, "port": d.port,
+                          "n_docs": d.server.n_docs}), flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            d.shutdown()
+        return
 
     from pyspark.sql import SparkSession
 

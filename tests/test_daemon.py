@@ -76,3 +76,39 @@ def test_daemon_matches_library_and_tracks_latency(spark, sf001_index):
         daemon.shutdown()
     # post-shutdown the summary is still readable
     assert daemon.latency_summary()["queries_served"] >= 6
+
+
+def test_submit_job_serve_subcommand(spark, sf001_index):
+    """CLI lifecycle surface: `submit_job.py serve` starts the daemon
+    (Spark-free), prints its JSON banner, and answers HTTP queries."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    _cp, paths = sf001_index
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "submit_job.py"),
+         "serve", "--index", paths.root, "--host", "127.0.0.1", "--port", "0"],
+        stdout=subprocess.PIPE, text=True, cwd=repo,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        assert banner["cmd"] == "serve" and banner["n_docs"] > 0
+        deadline = time.monotonic() + 30
+        while True:
+            try:
+                code, resp = _post(
+                    banner["port"], "/search",
+                    {"query_text": "parse config", "lang": "python", "k": 5},
+                )
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.2)
+        assert code == 200 and len(resp["results"]) > 0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=15)
