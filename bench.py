@@ -163,6 +163,13 @@ def main() -> None:
     merge_indexes(spark, [paths, paths2], f"{work}/merged_ix")
     timings["compact_merge_110pct"] = round(time.perf_counter() - t0, 3)
 
+    # static pruning (round 3): impact-ordered top-25% copy of the index
+    from horus_ner_spark.index.prune import prune_index
+
+    t0 = time.perf_counter()
+    prune_index(spark, paths, f"{work}/pruned_ix")
+    timings["prune_index_25pct"] = round(time.perf_counter() - t0, 3)
+
     # ── headline catalog queries over driver testdata ───────────────────────
     qfns = registry.queries()
     for name in (
