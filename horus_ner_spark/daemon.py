@@ -102,6 +102,7 @@ class ServeDaemon:
                             req.get("lang", "python"),
                             int(req.get("k", 10)),
                             req.get("mode", "OR"),
+                            slop=int(req.get("slop", 8)),
                         )
                     elif self.path == "/search_batch":
                         df = daemon.server.search_batch(req.get("queries", []))

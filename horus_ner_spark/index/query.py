@@ -298,6 +298,38 @@ def _exhaustive_one_query(
     return [(r + 1, int(uniq[i]), float(q[i])) for r, i in enumerate(top)]
 
 
+def _near_window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """True iff some token window of span <= ``slop`` contains at least one
+    position from EVERY list (classic minimal-covering-window two-pointer
+    sweep over the merged sorted positions)."""
+    n_terms = len(pos_lists)
+    if n_terms == 1:
+        return len(pos_lists[0]) > 0
+    lab = np.concatenate(
+        [np.full(len(p), i, dtype=np.int64) for i, p in enumerate(pos_lists)]
+    )
+    allp = np.concatenate(pos_lists)
+    order = np.argsort(allp, kind="stable")
+    allp, lab = allp[order], lab[order]
+    count = np.zeros(n_terms, dtype=np.int64)
+    have = 0
+    left = 0
+    for right in range(len(allp)):
+        c = lab[right]
+        count[c] += 1
+        if count[c] == 1:
+            have += 1
+        while have == n_terms:
+            if allp[right] - allp[left] <= slop:
+                return True
+            cl = lab[left]
+            count[cl] -= 1
+            if count[cl] == 0:
+                have -= 1
+            left += 1
+    return False
+
+
 def _phrase_one_query(
     term_blocks: dict[str, pd.DataFrame],
     term_df: dict[str, int],
@@ -307,11 +339,17 @@ def _phrase_one_query(
     phrase: list[str],
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
+    slop: int = 0,
 ) -> list[tuple[int, int, float]]:
-    """Exact-phrase top-k over the positional postings: documents containing
-    the query's token sequence CONTIGUOUSLY (position adjacency), scored by
-    BM25 over the phrase's distinct terms and ranked under the shared
-    quantize-then-rank contract.
+    """Exact-phrase / proximity top-k over the positional postings.
+
+    ``slop == 0`` (PHRASE): documents containing the query's token
+    sequence CONTIGUOUSLY (position adjacency).  ``slop > 0`` (NEAR):
+    documents where every distinct query term occurs within some token
+    window of span <= slop, in any order.  Both score BM25 over the
+    query's distinct terms and rank under the shared quantize-then-rank
+    contract, so a NEAR result set is a superset of the PHRASE result set
+    for the same text whenever slop >= len(phrase) - 1.
 
     Reference motivation: multi-word compounds are the reference's unit of
     retrieval (src/core/feature_extraction/util.py:154-181 NP chunks are
@@ -396,14 +434,22 @@ def _phrase_one_query(
 
     scored: list[tuple[float, int]] = []
     for doc in candidates:
-        # phrase check: a start position p such that term_i sits at p + i
-        anchors = per_term[phrase[0]][doc][2]
-        for i, t in enumerate(phrase[1:], start=1):
-            anchors = anchors[_pos_member(per_term[t][doc][2], anchors + i)]
+        if slop > 0:  # NEAR: unordered window coverage
+            if not _near_window_match(
+                [per_term[t][doc][2] for t in distinct], slop
+            ):
+                continue
+        else:
+            # phrase check: a start position p such that term_i sits at p+i
+            anchors = per_term[phrase[0]][doc][2]
+            for i, t in enumerate(phrase[1:], start=1):
+                anchors = anchors[
+                    _pos_member(per_term[t][doc][2], anchors + i)
+                ]
+                if not len(anchors):
+                    break
             if not len(anchors):
-                break
-        if not len(anchors):
-            continue
+                continue
         contribs = [
             idfs[t]
             * bm25.tf_norm(per_term[t][doc][0], per_term[t][doc][1], avgdl)
@@ -533,6 +579,7 @@ def _dispatch_query(
     or_kernel=None,
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
+    slop: int = 0,
 ) -> list[tuple[int, int, float]]:
     """One mode dispatcher shared by bm25_wand, bm25_wand_segments and
     bm25_distributed (and mirrored by IndexServer), so a mode's semantics
@@ -541,6 +588,11 @@ def _dispatch_query(
         return _phrase_one_query(
             term_blocks, term_df, k, n_docs, avgdl, phrase or [],
             exclude=exclude, doc_range=doc_range,
+        )
+    if mode == "NEAR":
+        return _phrase_one_query(
+            term_blocks, term_df, k, n_docs, avgdl, phrase or [],
+            exclude=exclude, doc_range=doc_range, slop=max(1, slop),
         )
     if mode == "AND":
         return _exhaustive_one_query(
@@ -565,7 +617,9 @@ def bm25_wand(
     ``force_wand=True`` pins the WAND kernel (kernel-equality tests).
 
     Per-query ``mode``: "OR" (default, disjunctive), "AND" (every term must
-    match), "PHRASE" (contiguous token sequence via the positional index)."""
+    match), "PHRASE" (contiguous token sequence via the positional index),
+    "NEAR" (every distinct term within a token window of span <=
+    ``slop``, default 8, any order — positional proximity)."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
@@ -578,7 +632,12 @@ def bm25_wand(
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
-        if q.get("mode", "OR").upper() == "PHRASE"
+        if q.get("mode", "OR").upper() in ("PHRASE", "NEAR")
+    }
+    slops = {
+        q["query_id"]: int(q.get("slop", 8))
+        for q in queries
+        if q.get("mode", "OR").upper() == "NEAR"
     }
     if not qt_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -624,6 +683,7 @@ def bm25_wand(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
             or_kernel=_wand_one_query if force_wand else _score_one_query,
+            slop=slops.get(qid, 0),
         )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
@@ -698,10 +758,10 @@ def bm25_distributed(
 
     for q in queries:  # unknown modes must not fall through to OR scoring
         m = q.get("mode", "OR").upper()
-        if m not in ("OR", "AND", "PHRASE"):
+        if m not in ("OR", "AND", "PHRASE", "NEAR"):
             raise ValueError(
                 f"unknown query mode {q.get('mode')!r} (query_id "
-                f"{q.get('query_id')}); expected OR, AND or PHRASE"
+                f"{q.get('query_id')}); expected OR, AND, PHRASE or NEAR"
             )
     conj = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
     or_queries = [q for q in queries if q.get("mode", "OR").upper() == "OR"]
@@ -801,9 +861,11 @@ def _conjunctive_distributed(
     range_bits: int,
     split_threshold: int,
 ) -> DataFrame:
-    """Distributed AND / PHRASE: fan the kernel out over doc_id range
-    buckets (see bm25_distributed docstring).  Returns an un-ordered
-    results frame matching RESULT_SCHEMA."""
+    """Distributed AND / PHRASE / NEAR: fan the kernel out over doc_id
+    range buckets (see bm25_distributed docstring; positions are
+    doc-local, so proximity verification partitions by doc range exactly
+    like phrase).  Returns an un-ordered results frame matching
+    RESULT_SCHEMA."""
     shift = 64 - range_bits
     qids = {q["query_id"] for q in queries}
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
@@ -811,7 +873,12 @@ def _conjunctive_distributed(
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
-        if q.get("mode", "OR").upper() == "PHRASE"
+        if q.get("mode", "OR").upper() in ("PHRASE", "NEAR")
+    }
+    slops = {
+        q["query_id"]: int(q.get("slop", 8))
+        for q in queries
+        if q.get("mode", "OR").upper() == "NEAR"
     }
     rows = [r for r in qt_rows if r["query_id"] in qids]
     n_query_terms = {
@@ -873,6 +940,7 @@ def _conjunctive_distributed(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "AND"), phrases.get(qid),
             n_query_terms.get(qid, 0), doc_range=doc_range,
+            slop=slops.get(qid, 0),
         )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s}
@@ -1037,9 +1105,9 @@ def bm25_wand_segments(
     single-query parallelism path: one query over S segments runs as S
     independent kernel tasks plus a tiny merge, instead of one task.
 
-    Per-query ``mode`` (OR/AND/PHRASE) works segment-locally too: a doc's
-    postings — and hence its positions and its matched-term count — live
-    entirely in its home segment."""
+    Per-query ``mode`` (OR/AND/PHRASE/NEAR) works segment-locally too: a
+    doc's postings — and hence its positions and its matched-term count —
+    live entirely in its home segment."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
@@ -1051,7 +1119,12 @@ def bm25_wand_segments(
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
-        if q.get("mode", "OR").upper() == "PHRASE"
+        if q.get("mode", "OR").upper() in ("PHRASE", "NEAR")
+    }
+    slops = {
+        q["query_id"]: int(q.get("slop", 8))
+        for q in queries
+        if q.get("mode", "OR").upper() == "NEAR"
     }
     n_query_terms = {
         qid: len({r["term"] for r in qt_rows if r["query_id"] == qid})
@@ -1086,7 +1159,7 @@ def bm25_wand_segments(
         rows = _dispatch_query(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
-            exclude=stale_by_seg.get(seg),
+            exclude=stale_by_seg.get(seg), slop=slops.get(qid, 0),
         )
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s, "seg": seg}

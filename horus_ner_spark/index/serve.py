@@ -57,7 +57,7 @@ _BLOCK_COLS = [
     "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
 ]
 
-_MODES = ("OR", "AND", "PHRASE")
+_MODES = ("OR", "AND", "PHRASE", "NEAR")
 
 
 def _valid_mode(mode: str) -> str:
@@ -211,17 +211,19 @@ class IndexServer:
         return dfs, blocks
 
     def search(self, query_text: str, lang: str = "python", k: int = 10,
-               mode: str = "OR") -> pd.DataFrame:
+               mode: str = "OR", slop: int = 8) -> pd.DataFrame:
         """Top-k for one query -> (rank, doc_id, score).
 
         ``mode="AND"`` requires every query term to match (conjunctive
         semantics; a term absent from the index makes the result empty).
         ``mode="PHRASE"`` requires the query's token sequence to appear
-        contiguously (positional index)."""
+        contiguously (positional index).  ``mode="NEAR"`` requires every
+        distinct term within a token window of span <= ``slop``, any
+        order (positional proximity)."""
         terms = sorted(set(tokenize(query_text, lang)))
         empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
         mode = _valid_mode(mode)
-        if mode == "PHRASE":
+        if mode in ("PHRASE", "NEAR"):
             if not terms:
                 return empty
             # positions bypass the LRU (see _BLOCK_COLS note)
@@ -230,7 +232,8 @@ class IndexServer:
                 return empty
             rows = self._run(
                 {t: blocks[blocks["term"] == t] for t in terms}, dfs, k,
-                "PHRASE", phrase=tokenize(query_text, lang),
+                mode, phrase=tokenize(query_text, lang),
+                slop=slop if mode == "NEAR" else 0,
             )
             return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
         loaded = self._load_terms(terms)
@@ -243,7 +246,8 @@ class IndexServer:
         )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
 
-    def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0):
+    def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0,
+             slop=0):
         """Mode dispatch, segment-aware: single-segment serves straight from
         the shared kernel dispatcher; multi-segment runs the SAME dispatcher
         per segment (block-max WAND included — each segment's blocks honor
@@ -254,7 +258,7 @@ class IndexServer:
         if self._single_segment:
             return _dispatch_query(
                 term_blocks, term_df, k, self.n_docs, self.avgdl,
-                mode, phrase, require_all,
+                mode, phrase, require_all, slop=slop,
             )
         seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
@@ -269,6 +273,7 @@ class IndexServer:
             for _r, d, s in _dispatch_query(
                 sub, term_df, k, self.n_docs, self.avgdl,
                 mode, phrase, require_all, exclude=self._stale.get(si),
+                slop=slop,
             ):
                 pooled.append((s, d))
         pooled.sort(key=lambda e: (-e[0], e[1]))
@@ -290,7 +295,7 @@ class IndexServer:
             {
                 t
                 for q in queries
-                if modes[q["query_id"]] != "PHRASE"
+                if modes[q["query_id"]] not in ("PHRASE", "NEAR")
                 for t in per_q[q["query_id"]]
             }
         )
@@ -298,10 +303,10 @@ class IndexServer:
         frames = []
         for q in queries:
             qid = q["query_id"]
-            if modes[qid] == "PHRASE":
+            if modes[qid] in ("PHRASE", "NEAR"):
                 res = self.search(
                     q["query_text"], q.get("lang", "python"),
-                    q.get("k", 10), "PHRASE",
+                    q.get("k", 10), modes[qid], slop=int(q.get("slop", 8)),
                 )
                 if len(res):
                     frames.append(

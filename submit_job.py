@@ -48,7 +48,10 @@ def main() -> None:
     q.add_argument("--query", required=True)
     q.add_argument("--lang", default="python")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
+    q.add_argument("--mode", default="OR",
+                   choices=["OR", "AND", "PHRASE", "NEAR"])
+    q.add_argument("--slop", type=int, default=8,
+                   help="NEAR window span in tokens")
     q.add_argument("--export", choices=["csv", "json"],
                    help="also write results via the export sinks")
     q.add_argument("--out", help="export directory (required with --export)")
@@ -105,7 +108,7 @@ def main() -> None:
         rdf = bm25_wand(
             spark, IndexPaths(args.index),
             [{"query_id": 0, "query_text": args.query, "lang": args.lang,
-              "k": args.k, "mode": args.mode}],
+              "k": args.k, "mode": args.mode, "slop": args.slop}],
         )
         res = rdf.collect()  # single execution; export re-uses the rows
         if args.export:
