@@ -102,10 +102,13 @@ def main() -> None:
     bm25_wand(spark, paths, query_set()).collect()
     timings["wand_batch_all_queries"] = round(time.perf_counter() - t0, 3)
 
-    # phrase mode over the positional index (serving path, warm)
+    # phrase + proximity modes over the positional index (serving, warm)
     t0 = time.perf_counter()
     server.search("hash_join mergeSort", "python", k=10, mode="PHRASE")
     timings["serve_phrase_query"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    server.search("hash_join mergeSort", "python", k=10, mode="NEAR", slop=8)
+    timings["serve_near_query"] = round(time.perf_counter() - t0, 4)
 
     # partition-parallel single-query scoring (the mega-query scale path)
     from horus_ner_spark.index.query import bm25_distributed
