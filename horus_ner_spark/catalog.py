@@ -107,16 +107,14 @@ def fs_read_json(ref: str):
         return json.loads(f.read().decode())
 
 
-def fs_write_json_atomic(ref: str, obj) -> None:
-    import json
+def fs_write_bytes_atomic(ref: str, data: bytes) -> None:
     import uuid
 
     from pyarrow import fs as pafs
 
     fs, path = filesystem(ref)
-    data = json.dumps(obj, indent=1, sort_keys=True).encode()
     if isinstance(fs, pafs.LocalFileSystem):  # POSIX: tmp + atomic rename
-        # unique temp name: concurrent writers of the same JSON (two
+        # unique temp name: concurrent writers of the same file (two
         # drivers committing the same stage) must never interleave into
         # one temp file — last rename wins with a complete document
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:12]}"
@@ -126,6 +124,14 @@ def fs_write_json_atomic(ref: str, obj) -> None:
     else:  # object store: single PUT is atomic
         with fs.open_output_stream(path) as f:
             f.write(data)
+
+
+def fs_write_json_atomic(ref: str, obj) -> None:
+    import json
+
+    fs_write_bytes_atomic(
+        ref, json.dumps(obj, indent=1, sort_keys=True).encode()
+    )
 
 
 def fs_remove_tree(ref: str) -> None:

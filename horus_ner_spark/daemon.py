@@ -12,8 +12,8 @@ process and reading only pruned postings per query.
 Endpoints (JSON over HTTP):
 
 - ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
-  "mode": "OR"|"AND"|"PHRASE"} -> {"results": [{rank, doc_id, score}],
-  "latency_ms": float}
+  "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8} ->
+  {"results": [{rank, doc_id, score}], "latency_ms": float}
 - ``POST /search_batch``  {"queries": [{query_id, query_text, lang, k}]}
   -> {"results": [...], "latency_ms": float}
 - ``GET /stats`` -> corpus stats + served-query latency summary

@@ -39,12 +39,12 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from horus_ner_spark import catalog
 from horus_ner_spark.index import bm25
 from horus_ner_spark.functions.bucketing import term_bucket_col
 from horus_ner_spark.index.build import (
+    _BLOCK_COLS,
     BLOCK_SIZE,
     N_PBUCKETS,
     POSTINGS_SCHEMA,
@@ -75,6 +75,13 @@ def _prune_factory(avgdl: float, keep_fraction: float, min_keep: int,
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
+        # applyInPandas gives no within-group row order guarantee (multiple
+        # input splits shuffle-fetch in arbitrary order), and encode_run
+        # requires a strictly increasing doc_id run — ALWAYS re-sort, like
+        # the merge re-blocker does (merge.py _reblock_factory)
+        sort0 = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[sort0], tfs[sort0], dls[sort0]
+        pos_l = [pos_l[i] for i in sort0]
         n = len(docs)
         n_keep = min(n, max(min_keep, math.ceil(keep_fraction * n)))
         if n_keep < n:
@@ -84,7 +91,7 @@ def _prune_factory(avgdl: float, keep_fraction: float, min_keep: int,
             )
             # highest impact first, ties -> lower doc_id (determinism)
             order = np.lexsort((docs, -tfnorm))[:n_keep]
-            keep = np.sort(order)  # back to doc_id order (runs are sorted)
+            keep = np.sort(order)  # back to doc_id order (run is sorted)
             docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             pos_l = [pos_l[i] for i in keep]
         pos_buf = b"".join(pos_l)
@@ -92,8 +99,7 @@ def _prune_factory(avgdl: float, keep_fraction: float, min_keep: int,
         np.cumsum([len(b) for b in pos_l], out=pos_off[1:])
         rows = encode_run(term, rb, docs, tfs, dls, pos_buf, pos_off,
                           avgdl, block_size)
-        cols = [c for c in pdf.columns if c != "pbucket"]
-        return pd.DataFrame(rows, columns=cols)
+        return pd.DataFrame(rows, columns=_BLOCK_COLS)
 
     return prune
 
@@ -135,16 +141,18 @@ def prune_index(
         partition_by=("pbucket",),
     )
     # stats tables carried over unchanged: surviving postings score
-    # bit-identically to the full index (module docstring)
-    for src, dst in (
-        (paths.term_stats, out.term_stats),
-        (paths.corpus_stats, out.corpus_stats),
-        (paths.docs, out.docs),
-        (paths.doclens, out.doclens),
-    ):
-        df = catalog.read_table(spark, src)
-        if "pbucket" in df.columns:
-            catalog.write_table(df, dst, partition_by=("pbucket",))
-        else:
-            catalog.write_table(df.coalesce(1), dst)
+    # bit-identically to the full index (module docstring).  corpus_stats
+    # is one row; docs/doclens are O(n_docs) and keep their natural write
+    # parallelism
+    catalog.write_table(
+        catalog.read_table(spark, paths.corpus_stats).coalesce(1),
+        out.corpus_stats,
+    )
+    catalog.write_table(
+        catalog.read_table(spark, paths.term_stats),
+        out.term_stats,
+        partition_by=("pbucket",),
+    )
+    for src, dst in ((paths.docs, out.docs), (paths.doclens, out.doclens)):
+        catalog.write_table(catalog.read_table(spark, src), dst)
     return out

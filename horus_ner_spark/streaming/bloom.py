@@ -106,10 +106,10 @@ class DocIdBloom:
     def save(self, ref: str) -> None:
         from horus_ner_spark import catalog
 
-        fs, path = catalog.filesystem(ref)
         header = _MAGIC + f"{self.n_bits} {self.k}\n".encode()
-        with fs.open_output_stream(path) as f:
-            f.write(header + self.bits.tobytes())
+        # atomic (tmp+rename / single PUT): a reader racing a replay's
+        # rebuild must see the old or the new sidecar, never a torn one
+        catalog.fs_write_bytes_atomic(ref, header + self.bits.tobytes())
 
     @classmethod
     def load(cls, ref: str) -> "DocIdBloom":
@@ -160,22 +160,58 @@ def build_unit_bloom(spark, unit_ix_dir: str, fpr: float = 0.01) -> DocIdBloom:
     return proto
 
 
-def load_combined_bloom(unit_ix_dirs: list[str]):
-    """OR of every unit's sidecar, or None if any unit lacks one or the
-    shapes differ (mixed corpus sizes build different-sized filters —
-    callers then fall back to the exact path for all docs)."""
+class BloomSet:
+    """Several filters probed as one: ``may_contain`` is the OR across all
+    member filters, so filters sized for different unit doc counts (the
+    normal case — every batch and tier differs) compose without resizing.
+    Same-shape members are unioned into one bit array at construction."""
+
+    def __init__(self, filters: list[DocIdBloom]):
+        by_shape: dict[tuple[int, int], DocIdBloom] = {}
+        for f in filters:
+            key = (f.n_bits, f.k)
+            by_shape[key] = f if key not in by_shape else by_shape[key].union(f)
+        self.filters = list(by_shape.values())
+
+    def may_contain(self, doc_ids: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(doc_ids), dtype=bool)
+        for f in self.filters:
+            out |= f.may_contain(doc_ids)
+        return out
+
+    def to_spec(self) -> list[tuple[int, int, bytes]]:
+        """Picklable form for shipping into a pandas UDF closure."""
+        return [(f.n_bits, f.k, f.bits.tobytes()) for f in self.filters]
+
+    @classmethod
+    def from_spec(cls, spec: list[tuple[int, int, bytes]]) -> "BloomSet":
+        return cls([
+            DocIdBloom(nb, k, np.frombuffer(b, dtype=np.uint8).copy())
+            for nb, k, b in spec
+        ])
+
+
+def load_unit_blooms(unit_ix_dirs: list[str]) -> list["DocIdBloom"] | None:
+    """One filter per unit, or None if ANY unit lacks a readable sidecar —
+    a unit the gate cannot vouch for would turn bloom misses into false
+    'definitely absent' answers, so callers must fall back to the exact
+    path for every doc.  A torn/corrupt sidecar counts as missing."""
     from horus_ner_spark import catalog
 
-    combined: DocIdBloom | None = None
+    out: list[DocIdBloom] = []
     for d in unit_ix_dirs:
         p = bloom_path(d)
         if not catalog.fs_exists(p):
             return None
-        bl = DocIdBloom.load(p)
-        if combined is None:
-            combined = bl
-        elif (combined.n_bits, combined.k) != (bl.n_bits, bl.k):
+        try:
+            out.append(DocIdBloom.load(p))
+        except (ValueError, OSError):
             return None
-        else:
-            combined = combined.union(bl)
-    return combined
+    return out
+
+
+def load_combined_bloom(unit_ix_dirs: list[str]) -> "BloomSet | None":
+    """BloomSet over every unit's sidecar, or None if any is missing or
+    unreadable (callers then fall back to the exact path for all docs)."""
+    filters = load_unit_blooms(unit_ix_dirs)
+    return BloomSet(filters) if filters is not None else None

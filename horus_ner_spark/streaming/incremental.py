@@ -222,17 +222,17 @@ def incremental_index_stream(
     duplicate in the first place (first-wins is then trivially exact and
     the serve-time stale reconciliation in query.py/serve.py collects
     nothing).  The dedup is EXACT but Bloom-gated (streaming/bloom.py):
-    every live unit carries a tiny ``docs.bloom`` sidecar; the OR of the
-    sidecars pre-filters the batch, docs the filters rule out (a fresh
-    batch's overwhelming majority) skip the join entirely, and only the
-    bloom-hit sliver goes through the pruned anti-join — per-batch dedup
-    cost is O(batch), not O(total indexed docs).  Units without sidecars
-    (e.g. pre-bloom indexes) fall back to the plain exact join."""
+    every live unit carries a tiny ``docs.bloom`` sidecar; probing the
+    sidecars pre-filters the batch, and the suspect sliver (true dups +
+    ~fpr false positives — bounded by the batch size) is checked exactly
+    against ONLY the units whose own filter implicates it, with a doc_id
+    range pushed into each scan and the suspect set broadcast.  Per-batch
+    dedup work is O(batch) + column-pruned reads of implicated units —
+    never a shuffle of, or a hash table over, the full indexed doc set.
+    Units without readable sidecars (pre-bloom indexes) fall back to the
+    plain exact anti-join."""
     from horus_ner_spark.index.build import build_index, with_doc_id
-    from horus_ner_spark.streaming.bloom import (
-        build_unit_bloom,
-        load_combined_bloom,
-    )
+    from horus_ner_spark.streaming.bloom import build_unit_bloom
 
     catalog.fs_makedirs(index_root)
 
@@ -240,39 +240,87 @@ def incremental_index_stream(
         import numpy as np
         from pyspark.sql.functions import pandas_udf
 
+        from horus_ner_spark.streaming.bloom import (
+            BloomSet,
+            load_unit_blooms,
+        )
+
         keyed = with_doc_id(batch_df)
-        bloom = load_combined_bloom([p for _lvl, p in units])
-        if bloom is not None:
-            n_bits, k, bits = bloom.n_bits, bloom.k, bloom.bits.tobytes()
-
-            @pandas_udf("boolean")
-            def may_dup(ids: pd.Series) -> pd.Series:
-                from horus_ner_spark.streaming.bloom import DocIdBloom
-
-                bl = DocIdBloom(
-                    n_bits, k, np.frombuffer(bits, dtype=np.uint8)
-                )
-                return pd.Series(bl.may_contain(ids.to_numpy(np.int64)))
-
-            keyed = keyed.withColumn("_maybe_dup", may_dup("doc_id")).persist()
-            suspects = keyed.filter(F.col("_maybe_dup"))
-            if suspects.isEmpty():  # common case: nothing re-delivered
-                out = keyed.drop("_maybe_dup", "doc_id")
-                out = out.localCheckpoint()  # materialize before unpersist
-                keyed.unpersist()
-                return out
-            fresh = keyed.filter(~F.col("_maybe_dup"))
-        else:  # no/mismatched sidecars: every doc is a suspect
+        unit_blooms = load_unit_blooms([p for _lvl, p in units])
+        if unit_blooms is None:
+            # a unit without a readable sidecar cannot be vouched for:
+            # exact anti-join against everything (pre-bloom indexes)
             keyed = keyed.persist()
-            suspects, fresh = keyed, None
-        existing = None
-        for _lvl, p in units:
-            ids = spark.read.parquet(
-                os.path.join(p, "docs.parquet")
-            ).select("doc_id")
-            existing = ids if existing is None else existing.unionByName(ids)
-        kept = suspects.join(existing, "doc_id", "left_anti")
-        out = kept if fresh is None else fresh.unionByName(kept)
+            existing = None
+            for _lvl, p in units:
+                ids = spark.read.parquet(
+                    os.path.join(p, "docs.parquet")
+                ).select("doc_id")
+                existing = (
+                    ids if existing is None else existing.unionByName(ids)
+                )
+            out = (
+                keyed.join(existing, "doc_id", "left_anti")
+                .drop("doc_id")
+                .localCheckpoint()
+            )
+            keyed.unpersist()
+            return out
+
+        spec = BloomSet(unit_blooms).to_spec()
+
+        @pandas_udf("boolean")
+        def may_dup(ids: pd.Series) -> pd.Series:
+            from horus_ner_spark.streaming.bloom import BloomSet as _BS
+
+            bs = _BS.from_spec(spec)
+            return pd.Series(bs.may_contain(ids.to_numpy(np.int64)))
+
+        keyed = keyed.withColumn("_maybe_dup", may_dup("doc_id")).persist()
+        suspects = keyed.filter(F.col("_maybe_dup"))
+        # the suspect set is bounded by the MICRO-BATCH size (true dups +
+        # ~fpr false positives), so it collects to the driver; the exact
+        # membership check then reads only units whose OWN filter
+        # implicates >= 1 suspect, with a doc_id range pushed into the
+        # scan and the tiny suspect set broadcast — never a shuffle of,
+        # or hash table over, the full indexed doc set
+        sus = np.sort(
+            np.array(
+                [r["doc_id"] for r in suspects.select("doc_id").collect()],
+                dtype=np.int64,
+            )
+        )
+        if not len(sus):  # common case: nothing re-delivered
+            out = keyed.drop("_maybe_dup", "doc_id").localCheckpoint()
+            keyed.unpersist()
+            return out
+        sus_df = F.broadcast(
+            spark.createDataFrame([(int(x),) for x in sus], "doc_id long")
+        )
+        dup_ids = set()
+        for bl, (_lvl, p) in zip(unit_blooms, units):
+            if not bl.may_contain(sus).any():
+                continue  # this unit provably holds none of the suspects
+            hits = (
+                spark.read.parquet(os.path.join(p, "docs.parquet"))
+                .select("doc_id")
+                .filter(
+                    (F.col("doc_id") >= int(sus[0]))
+                    & (F.col("doc_id") <= int(sus[-1]))
+                )
+                .join(sus_df, "doc_id", "semi")
+                .collect()
+            )
+            dup_ids.update(r["doc_id"] for r in hits)
+        if dup_ids:
+            dup_df = F.broadcast(
+                spark.createDataFrame(
+                    [(int(x),) for x in sorted(dup_ids)], "doc_id long"
+                )
+            )
+            out = keyed.join(dup_df, "doc_id", "anti")
+        else:
+            out = keyed
         out = out.drop("_maybe_dup", "doc_id").localCheckpoint()
         keyed.unpersist()
         return out

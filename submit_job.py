@@ -12,7 +12,8 @@ from horus_ner_spark.session import build_package_zip; print(build_package_zip()
 
     spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
         query --index /data/ix --query "parse config" --lang python --k 10 \
-        [--mode OR|AND|PHRASE] [--export csv|json --out /data/results]
+        [--mode OR|AND|PHRASE|NEAR --slop 8] \
+        [--export csv|json --out /data/results]
 
     spark-submit --master local[8] --py-files "$PYZ" submit_job.py \
         merge --segments /data/ix_a /data/ix_b --out /data/ix_merged

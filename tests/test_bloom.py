@@ -43,12 +43,27 @@ def test_bloom_roundtrip_union(tmp_path):
     loaded = DocIdBloom.load(p)
     assert loaded.n_bits == u.n_bits and loaded.k == u.k
     assert (loaded.bits == u.bits).all()
-    # shape mismatch refuses to union
+    # shape mismatch refuses to union...
     with pytest.raises(ValueError):
         a.union(DocIdBloom.sized_for(10_000))
-    # combined load falls back (None) when a sidecar is missing
+    # ...but BloomSet composes mixed shapes (the normal multi-unit case)
+    from horus_ner_spark.streaming.bloom import BloomSet
+
+    big = DocIdBloom.sized_for(10_000)
+    big.add(np.arange(5000, 5100, dtype=np.int64))
+    bs = BloomSet([a, b, big])
+    assert bs.may_contain(ids_a).all() and bs.may_contain(ids_b).all()
+    assert bs.may_contain(np.arange(5000, 5100, dtype=np.int64)).all()
+    rt = BloomSet.from_spec(bs.to_spec())
+    assert rt.may_contain(ids_a).all()
+    # same-shape members compact into one bit array; the odd shape stays
+    assert len(bs.filters) == 2
+    # combined load falls back (None) when a sidecar is missing or torn
     assert load_combined_bloom([str(tmp_path / "x"), str(tmp_path / "y")]) is None
     assert load_combined_bloom([str(tmp_path / "x")]) is not None
+    with open(p, "wb") as f:
+        f.write(b"HBLM1\n999999 7\ntrunc")
+    assert load_combined_bloom([str(tmp_path / "x")]) is None
 
 
 def test_stream_bloom_dedup_exact_with_redelivery(spark, tmp_path):
@@ -91,6 +106,25 @@ def test_stream_bloom_dedup_exact_with_redelivery(spark, tmp_path):
     assert seg0_docs.join(seg1_docs, "doc_id").count() == 0
     units = active_units(ix_root)
     assert all(os.path.exists(bloom_path(p)) for _l, p in units)
+
+    # batch 3: re-delivery spanning BOTH live units (whose filters have
+    # different shapes — 160 vs 80 docs) + 30 new docs: the BloomSet gate
+    # must implicate both units and keep only the new docs
+    import pandas as pd
+
+    big = gen_corpus_pandas(sf=0.001).iloc[:270]
+    pd.concat([big.iloc[40:200], big.iloc[240:270]]).to_parquet(
+        landing / "d3.parquet", index=False
+    )
+    q = incremental_index_stream(spark, str(landing), ix_root, cp)
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+    seg2_docs = spark.read.parquet(
+        os.path.join(ix_root, "seg_2", "ix", "docs.parquet")
+    )
+    assert seg2_docs.count() == 30
+    for older in (seg0_docs, seg1_docs):
+        assert older.join(seg2_docs, "doc_id").count() == 0
 
 
 def test_stream_bloom_all_duplicates_batch(spark, tmp_path):
