@@ -526,7 +526,8 @@ def build_index(
             "lang",
             F.sha2("content", 256).alias("content_sha256"),
         )
-        catalog.write_table(docs, paths.docs)
+        # doc_id-sorted within files (same rationale as doclens below)
+        catalog.write_table(docs.sortWithinPartitions("doc_id"), paths.docs)
         per_file = _per_file_rows(_file_metrics(spark, paths.docs), "docs_tokenized")
         man.commit_stage(
             "docs", fp, per_file,
@@ -568,7 +569,10 @@ def build_index(
         t0 = time.monotonic()
         tf = catalog.read_table(spark, paths.tf)
         doclens = tf.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
-        catalog.write_table(doclens, paths.doclens)
+        # doc_id-sorted within files -> tight parquet row-group stats, so
+        # point/range doc_id reads (bloom suspect probes, stale-dup
+        # reconciliation) prune row groups instead of scanning the table
+        catalog.write_table(doclens.sortWithinPartitions("doc_id"), paths.doclens)
         # n_docs (incl. zero-token docs, which have no doclens row) comes
         # from the docs-stage manifest; sum(doclen) is one tiny column-pruned
         # Spark agg over the one-row-per-doc doclens table — distributed and
