@@ -203,8 +203,92 @@ FROM ({union})
 
 PHRASE_ORACLE_SQL = _phrase_oracle_sql()
 
+
+# Proximity retrieval (NEAR): every distinct query term within a token
+# window of span <= slop over the KEPT token positions, any order.
+NEAR_QUERIES = [
+    {"query_id": 1, "query_text": "merge join", "lang": "en", "k": 10,
+     "mode": "NEAR", "slop": 3},
+    {"query_id": 2, "query_text": "table scan batch", "lang": "en", "k": 10,
+     "mode": "NEAR", "slop": 8},
+    {"query_id": 3, "query_text": "merge nosuchterm", "lang": "en", "k": 10,
+     "mode": "NEAR", "slop": 4},  # OOV term -> empty
+]
+
+
+def bm25_near_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity top-k via the positional postings (NEAR mode)."""
+    paths = _doc_index(spark, sf_dir)
+    return bm25_wand(spark, paths, NEAR_QUERIES)
+
+
+def _near_oracle_sql() -> str:
+    """NEAR top-k in DuckDB: per-doc kept-token positions via zipped
+    unnest, candidate docs via an m-way self-join requiring one position
+    per distinct term with greatest-least <= slop (exactly the kernel's
+    "some window of span <= slop covers every term"), then full BM25 over
+    the distinct terms under the shared quantize-then-rank contract."""
+    parts = []
+    for q in NEAR_QUERIES:
+        toks = _tokenize_sql_literal(q["query_text"])  # sorted distinct
+        terms = ", ".join(f"'{t}'" for t in toks)
+        joins = "pos p0" + "".join(
+            f" JOIN pos p{i} USING (doc_id)" for i in range(1, len(toks))
+        )
+        conds = " AND ".join(
+            f"p{i}.term = '{t}'" for i, t in enumerate(toks)
+        )
+        ords = ", ".join(f"p{i}.ord" for i in range(len(toks)))
+        span = (
+            f"greatest({ords}) - least({ords})" if len(toks) > 1 else "0"
+        )
+        parts.append(f"""
+SELECT {q['query_id']} AS query_id, rank, doc_id, score FROM (
+  SELECT doc_id, round(sum(contrib), 6) AS score,
+         row_number() OVER (ORDER BY round(sum(contrib), 6) DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT tf.doc_id,
+           ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl)))
+           AS contrib
+    FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), stats
+    WHERE tf.term IN ({terms})
+      AND tf.doc_id IN (SELECT DISTINCT p0.doc_id FROM {joins}
+                        WHERE {conds} AND {span} <= {q['slop']})
+  ) GROUP BY doc_id
+) WHERE rank <= {q['k']}""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH kept AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 2 AND length(x) <= 64) AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM kept),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(coalesce(sum(doclen), 0) AS DOUBLE)
+                 / (SELECT count(*) FROM documents) FROM dl) AS avgdl
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(len(toks))) AS ord
+  FROM kept
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM ({union})
+"""
+
+
+NEAR_ORACLE_SQL = _near_oracle_sql()
+
 ENTRIES: dict[str, tuple] = {
     "engine_bm25_wand_docs": (engine_bm25_wand_docs, ENGINE_ORACLE_SQL),
     "engine_bm25_brute_docs": (engine_bm25_brute_docs, ENGINE_ORACLE_SQL),
     "bm25_phrase_topk_docs": (bm25_phrase_topk_docs, PHRASE_ORACLE_SQL),
+    "bm25_near_topk_docs": (bm25_near_topk_docs, NEAR_ORACLE_SQL),
 }
