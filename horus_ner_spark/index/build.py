@@ -71,6 +71,7 @@ BLOCK_SIZE = 128       # postings per compressed block
 RANGE_BITS = 6         # hot-term split: 2^6 = 64 doc_id-range groups per term
 N_PBUCKETS = 32        # term-hash partitions of the postings table
 SPLIT_THRESHOLD = 8192  # df above which a term is salted across rb groups
+SUB_BLOCKS = 4         # impact sub-ranges per block (finer WAND shallow bounds)
 
 # Blocks are self-contained for scoring: doc_ids (delta-gap), tfs, doclens,
 # and token positions all ride in the block, so the WAND/phrase kernels need

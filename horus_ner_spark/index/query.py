@@ -402,60 +402,112 @@ def _phrase_one_query(
         pos = np.minimum(np.searchsorted(inter, d), len(inter) - 1)
         return inter[pos] == d
 
-    # pass 2: decode positions only for blocks that hold >= 1 candidate
-    per_term: dict[str, dict[int, tuple[int, int, np.ndarray]]] = {}
+    # pass 2: decode positions only for blocks that hold >= 1 candidate,
+    # landing them in CANDIDATE-ALIGNED per-term arrays (tf, doclen, and a
+    # concatenated position stream in candidate order).  Every candidate is
+    # in the intersection, so each term fills every slot exactly once.
+    n_cand = len(inter)
+    tf_a: dict[str, np.ndarray] = {}
+    dl_a: dict[str, np.ndarray] = {}
+    pos_cat: dict[str, np.ndarray] = {}
     for t in distinct:
-        m: dict[int, tuple[int, int, np.ndarray]] = {}
+        tfs_t = np.zeros(n_cand, dtype=np.int64)
+        dls_t = np.zeros(n_cand, dtype=np.int64)
+        slots: list = [None] * n_cand
         for d, tf, dl, pvb in decoded[t]:
             hits = np.flatnonzero(_member(d))
             if not len(hits):
                 continue
+            ci = np.searchsorted(inter, d[hits])
+            tfs_t[ci] = tf[hits]
+            dls_t[ci] = dl[hits]
             if len(hits) * 8 >= len(d):  # dense: one vectorized decode
                 vals, starts = decode_positions(pvb, tf)
-                for i in hits:
-                    m[int(d[i])] = (
-                        int(tf[i]), int(dl[i]), vals[starts[i] : starts[i + 1]]
-                    )
+                for c, i in zip(ci, hits):
+                    slots[c] = vals[starts[i] : starts[i + 1]]
             else:  # sparse: slice + decode just the hit postings
                 off = pos_slice_offsets(pvb, tf)
-                for i in hits:
+                for c, i in zip(ci, hits):
                     vals, _ = decode_positions(
                         pvb[off[i] : off[i + 1]], tf[i : i + 1]
                     )
-                    m[int(d[i])] = (int(tf[i]), int(dl[i]), vals)
-        per_term[t] = m
-    candidates = sorted(int(x) for x in inter)
-    idfs = {t: bm25.idf(n_docs, term_df[t]) for t in distinct}
-    def _pos_member(sorted_pos: np.ndarray, vals: np.ndarray) -> np.ndarray:
-        # positions are sorted: searchsorted membership beats np.isin's
-        # per-call sort/min/max overhead by ~30x on tiny arrays
-        idx = np.minimum(np.searchsorted(sorted_pos, vals), len(sorted_pos) - 1)
-        return sorted_pos[idx] == vals
+                    slots[c] = vals
+        tf_a[t], dl_a[t] = tfs_t, dls_t
+        pos_cat[t] = np.concatenate(slots)
 
-    scored: list[tuple[float, int]] = []
-    for doc in candidates:
-        if slop > 0:  # NEAR: unordered window coverage
-            if not _near_window_match(
-                [per_term[t][doc][2] for t in distinct], slop
-            ):
-                continue
+    # Verification is ONE numpy pass over all candidates (round-3 verdict:
+    # the per-candidate Python loop was the hot-phrase scale ceiling).
+    # Positions are offset-encoded into disjoint per-candidate ranges:
+    # candidate i's positions map to [i*L, i*L + maxpos]; L exceeds
+    # maxpos + slop + len(phrase), so no window or adjacency check can ever
+    # cross a candidate boundary, and one global check covers every doc.
+    maxpos = max(int(p.max()) for p in pos_cat.values())
+    L = np.int64(maxpos + max(slop, len(phrase)) + 2)
+    epos = {
+        t: pos_cat[t]
+        + np.repeat(np.arange(n_cand, dtype=np.int64), tf_a[t]) * L
+        for t in distinct
+    }
+    if slop > 0:  # NEAR: unordered window coverage (span <= slop)
+        if len(distinct) == 1:
+            # every candidate has >= 1 occurrence: all match
+            mci = np.arange(n_cand, dtype=np.int64)
         else:
-            # phrase check: a start position p such that term_i sits at p+i
-            anchors = per_term[phrase[0]][doc][2]
-            for i, t in enumerate(phrase[1:], start=1):
-                anchors = anchors[
-                    _pos_member(per_term[t][doc][2], anchors + i)
-                ]
-                if not len(anchors):
-                    break
+            # minimal-covering-window sweep, vectorized: a window ending at
+            # merged position j spans (pos[j] - min_t lastpos_t[j]); some
+            # valid window exists iff for some j EVERY term's most recent
+            # occurrence is within slop.  lastpos_t is a running max over
+            # the merged stream (offset encoding voids cross-doc carry).
+            allp = np.concatenate([epos[t] for t in distinct])
+            lab = np.concatenate(
+                [np.full(len(epos[t]), i, dtype=np.int64)
+                 for i, t in enumerate(distinct)]
+            )
+            order = np.argsort(allp, kind="stable")
+            allp, lab = allp[order], lab[order]
+            neg = np.int64(-(1 << 62))
+            ok = np.ones(len(allp), dtype=bool)
+            for i in range(len(distinct)):
+                last = np.maximum.accumulate(np.where(lab == i, allp, neg))
+                ok &= last >= allp - slop
+            mci = np.unique(allp[ok] // L)
+    else:
+        # phrase check across ALL candidates at once: a start position p
+        # such that term_i sits at p+i, via sorted membership (the encoded
+        # streams are globally ascending: positions ascend within a
+        # candidate and candidate ranges are disjoint ascending)
+        anchors = epos[phrase[0]]
+        for i, t in enumerate(phrase[1:], start=1):
             if not len(anchors):
-                continue
-        contribs = [
-            idfs[t]
-            * bm25.tf_norm(per_term[t][doc][0], per_term[t][doc][1], avgdl)
-            for t in distinct  # sorted-term order: determinism contract
-        ]
-        scored.append((bm25.quantize(math.fsum(contribs)), doc))
+                break
+            anchors = anchors[_in_sorted(epos[t], anchors + i)]
+        mci = (
+            np.unique(anchors // L)
+            if len(anchors)
+            else np.empty(0, dtype=np.int64)
+        )
+    if not len(mci):
+        return []
+
+    # BM25 over the matched candidates: per-term contributions vectorized
+    # with the exact expression shape of bm25.tf_norm (element-wise IEEE
+    # ops in the same association order -> bit-identical to the scalar
+    # path), summed per doc with math.fsum in sorted-term order — the
+    # shared determinism contract.
+    idfs = {t: bm25.idf(n_docs, term_df[t]) for t in distinct}
+    cols = []
+    for t in distinct:  # sorted-term order: determinism contract
+        tfm = tf_a[t][mci]
+        tfn = tfm * (bm25.K1 + 1.0) / (
+            tfm
+            + bm25.K1
+            * (1.0 - bm25.B + bm25.B * dl_a[t][mci].astype(np.float64) / avgdl)
+        )
+        cols.append(idfs[t] * tfn)
+    scored = [
+        (bm25.quantize(math.fsum(vals)), int(d))
+        for d, *vals in zip(inter[mci], *cols)
+    ]
     scored.sort(key=lambda e: (-e[0], e[1]))
     return [(r + 1, d, q) for r, (q, d) in enumerate(scored[:k])]
 
@@ -567,6 +619,17 @@ def _wand_one_query(
     return [(r + 1, -nd, q) for r, (q, nd) in enumerate(ranked)]
 
 
+def _validate_slops(slops: dict[int, int]) -> None:
+    """Driver-side NEAR slop validation — same contract as the kernel's
+    (_dispatch_query), applied before any Spark job launches."""
+    for qid, s in slops.items():
+        if s < 1:
+            raise ValueError(
+                f"NEAR requires slop >= 1 (token window span); got {s} "
+                f"(query_id {qid})"
+            )
+
+
 def _dispatch_query(
     term_blocks: dict[str, pd.DataFrame],
     term_df: dict[str, int],
@@ -590,9 +653,16 @@ def _dispatch_query(
             exclude=exclude, doc_range=doc_range,
         )
     if mode == "NEAR":
+        if slop < 1:
+            # loud failure, matching the unknown-mode policy: slop=0 has no
+            # defined NEAR meaning (the contract is "window of span <=
+            # slop"), so rejecting beats silently rewriting it to 1
+            raise ValueError(
+                f"NEAR requires slop >= 1 (token window span); got {slop}"
+            )
         return _phrase_one_query(
             term_blocks, term_df, k, n_docs, avgdl, phrase or [],
-            exclude=exclude, doc_range=doc_range, slop=max(1, slop),
+            exclude=exclude, doc_range=doc_range, slop=slop,
         )
     if mode == "AND":
         return _exhaustive_one_query(
@@ -639,6 +709,7 @@ def bm25_wand(
         for q in queries
         if q.get("mode", "OR").upper() == "NEAR"
     }
+    _validate_slops(slops)  # fail before any Spark job launches
     if not qt_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     terms = sorted({r["term"] for r in qt_rows})
@@ -880,6 +951,7 @@ def _conjunctive_distributed(
         for q in queries
         if q.get("mode", "OR").upper() == "NEAR"
     }
+    _validate_slops(slops)
     rows = [r for r in qt_rows if r["query_id"] in qids]
     n_query_terms = {
         qid: len({r["term"] for r in rows if r["query_id"] == qid})
@@ -907,12 +979,46 @@ def _conjunctive_distributed(
         .select("query_id", *cols)
     )
     fan_qids = sorted(q for q, f in fan_out.items() if f)
+    hot_terms = sorted(
+        t for t in terms if term_df.get(t, 0) > split_threshold
+    )
+    # a fan-out query's COLD terms do not ride the shuffle at all: their
+    # doc spans cross nearly every range bucket (doc_ids are hash values),
+    # so exploding them replicated every cold block ~2^range_bits times
+    # (round-3 advice).  Each cold term's postings are bounded by
+    # split_threshold, so the whole set collects once and ships to every
+    # range task as a Spark broadcast instead.
+    qid_cold = {
+        qid: sorted(
+            {
+                r["term"]
+                for r in rows
+                if r["query_id"] == qid and term_df.get(r["term"], 0) <= split_threshold
+            }
+        )
+        for qid in fan_qids
+    }
+    cold_fan_terms = sorted({t for ts in qid_cold.values() for t in ts})
+    cold_bc = None
+    if cold_fan_terms:
+        cold_pdf = (
+            spark.read.parquet(paths.postings)
+            .filter(F.col("pbucket").isin(buckets))
+            .filter(F.col("term").isin(cold_fan_terms))
+            .select(*cols)
+            .toPandas()
+        )
+        cold_bc = spark.sparkContext.broadcast(
+            {t: g for t, g in cold_pdf.groupby("term")}
+        )
     if fan_qids:
-        # every block joins to each range bucket its doc span crosses:
-        # exactly one for hot-built blocks, the crossed ranges for a cold
-        # term's blocks (replication bounded by 2^range_bits over at most
-        # SPLIT_THRESHOLD/BLOCK_SIZE blocks per cold term)
-        spanned = blocks.filter(F.col("query_id").isin(fan_qids)).withColumn(
+        # hot-term blocks join to each range bucket their doc span crosses
+        # — exactly one for rb-salted hot-built blocks (the build/merge
+        # invariant); a rare crossing block replicates only to its own
+        # crossed ranges
+        spanned = blocks.filter(
+            F.col("query_id").isin(fan_qids) & F.col("term").isin(hot_terms)
+        ).withColumn(
             "grb",
             F.explode(
                 F.sequence(
@@ -932,10 +1038,18 @@ def _conjunctive_distributed(
         qid = int(pdf["query_id"].iloc[0])
         grb = pdf["grb"].iloc[0]
         doc_range = None
+        term_blocks = {t: g for t, g in pdf.groupby("term")}
         if grb is not None and not pd.isna(grb):
             lo = int(grb) << shift
             doc_range = (lo, lo + (1 << shift) - 1)
-        term_blocks = {t: g for t, g in pdf.groupby("term")}
+            if cold_bc is not None:
+                # the query's cold terms arrive via broadcast, once per
+                # executor; the kernel's doc_range filter restricts their
+                # candidates to this bucket
+                for t in qid_cold.get(qid, ()):
+                    g = cold_bc.value.get(t)
+                    if g is not None and len(g):
+                        term_blocks[t] = g
         rows_ = _dispatch_query(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "AND"), phrases.get(qid),
@@ -1126,6 +1240,7 @@ def bm25_wand_segments(
         for q in queries
         if q.get("mode", "OR").upper() == "NEAR"
     }
+    _validate_slops(slops)
     n_query_terms = {
         qid: len({r["term"] for r in qt_rows if r["query_id"] == qid})
         for qid in ks

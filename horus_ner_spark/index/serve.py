@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 import threading
 from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -44,7 +45,12 @@ import pyarrow.parquet as pq
 
 from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
-from horus_ner_spark.index.build import N_PBUCKETS, IndexPaths
+from horus_ner_spark.index.build import (
+    N_PBUCKETS,
+    RANGE_BITS,
+    SPLIT_THRESHOLD,
+    IndexPaths,
+)
 from horus_ner_spark.index.codec import decode_block
 from horus_ner_spark.index.query import _dispatch_query, _in_sorted
 
@@ -78,7 +84,9 @@ class IndexServer:
     """
 
     def __init__(self, index_dir: str | list[str], n_pbuckets: int = N_PBUCKETS,
-                 cache_terms: int = 4096) -> None:
+                 cache_terms: int = 4096, range_bits: int = RANGE_BITS,
+                 split_threshold: int = SPLIT_THRESHOLD,
+                 fanout_workers: int | None = None) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -133,8 +141,25 @@ class IndexServer:
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
         self._single_segment = len(dirs) == 1
         self.n_pbuckets = n_pbuckets
+        # hot-conjunctive fan-out (round-3 verdict #1): AND/PHRASE/NEAR
+        # queries with a hot term (df > split_threshold) run one kernel per
+        # doc-id range bucket on a thread pool — the serving-side analog of
+        # query._conjunctive_distributed's rb fan-out (the kernels release
+        # the GIL in their numpy passes).  fanout_workers=0 disables (the
+        # single-task path, kept for differential tests).
+        self.range_bits = range_bits
+        self.split_threshold = split_threshold
+        self._fanout_workers = (
+            min(16, os.cpu_count() or 8)
+            if fanout_workers is None
+            else fanout_workers
+        )
+        self._pool: ThreadPoolExecutor | None = None
+        self._pool_lock = threading.Lock()
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
         self._cache_terms = cache_terms
+        self.cache_hits = 0
+        self.cache_misses = 0
         # the daemon serves from concurrent handler threads: LRU bookkeeping
         # (get/move_to_end/insert/evict) must be atomic.  Storage fetches
         # stay OUTSIDE the lock — two threads may race to fetch the same
@@ -155,9 +180,11 @@ class IndexServer:
                 hit = self._cache.get(t)
                 if hit is not None:
                     self._cache.move_to_end(t)
+                    self.cache_hits += 1
                     if hit[0] > 0:  # df=0 sentinel: confirmed-absent term
                         out[t] = hit
                 else:
+                    self.cache_misses += 1
                     misses.append(t)
         if misses:
             dfs, blocks = self._fetch(misses, _BLOCK_COLS)
@@ -246,19 +273,100 @@ class IndexServer:
         )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
 
+    def _get_pool(self) -> ThreadPoolExecutor:
+        with self._pool_lock:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self._fanout_workers,
+                    thread_name_prefix="horus-serve-rb",
+                )
+            return self._pool
+
+    def _dispatch_fanned(self, term_blocks, term_df, k, mode, phrase,
+                         require_all, exclude, slop):
+        """Route ONE kernel invocation.  Conjunctive modes with a hot term
+        fan out over the doc-id range buckets the build already salts hot
+        terms by: one kernel per bucket with a ``doc_range`` filter — the
+        exact partitioning of query._conjunctive_distributed, so results
+        are rank-identical to the single-task path (ranges partition the
+        id space; per-range scores are complete) — run on a thread pool
+        over the blocks already fetched.  Everything else (OR; all-cold
+        conjunctions, whose candidate sets are tiny by definition) runs as
+        one in-process kernel call.  Round-3 verdict #1: the single-task
+        kernel was 29.2 s vs 4.4 s distributed on a 3-hot-term NEAR at
+        sf0.8."""
+        if (
+            mode in ("AND", "PHRASE", "NEAR")
+            and self._fanout_workers
+            and any(
+                term_df.get(t, 0) > self.split_threshold for t in term_blocks
+            )
+        ):
+            shift = 64 - self.range_bits
+            # candidate buckets: a conjunctive match needs EVERY term, so
+            # only buckets covered by every hot term's blocks can match
+            # (hot-built blocks are rb-pure; a crossing block contributes
+            # its whole crossed range, defensively)
+            rb_sets = []
+            for t, b in term_blocks.items():
+                if term_df.get(t, 0) <= self.split_threshold:
+                    continue
+                lo = b["min_doc_id"].to_numpy(np.int64) >> shift
+                hi = b["max_doc_id"].to_numpy(np.int64) >> shift
+                s: set[int] = set()
+                for a, z in zip(lo, hi):
+                    s.update(range(int(a), int(z) + 1))
+                rb_sets.append(s)
+            rbs = sorted(set.intersection(*rb_sets))
+            if len(rbs) > 1:
+                masks = {
+                    t: (
+                        b["min_doc_id"].to_numpy(np.int64) >> shift,
+                        b["max_doc_id"].to_numpy(np.int64) >> shift,
+                    )
+                    for t, b in term_blocks.items()
+                }
+
+                def one_rb(rb: int):
+                    lo = rb << shift
+                    sub = {}
+                    for t, b in term_blocks.items():
+                        blo, bhi = masks[t]
+                        bl = b[(blo <= rb) & (bhi >= rb)]
+                        if not len(bl):
+                            return []  # some term absent here: no match
+                        sub[t] = bl
+                    return _dispatch_query(
+                        sub, term_df, k, self.n_docs, self.avgdl, mode,
+                        phrase, require_all, exclude=exclude,
+                        doc_range=(lo, lo + (1 << shift) - 1), slop=slop,
+                    )
+
+                pooled: list[tuple[float, int]] = []
+                for res in self._get_pool().map(one_rb, rbs):
+                    pooled.extend((s, d) for _r, d, s in res)
+                # buckets partition the doc-id space: plain disjoint merge
+                pooled.sort(key=lambda e: (-e[0], e[1]))
+                return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
+        return _dispatch_query(
+            term_blocks, term_df, k, self.n_docs, self.avgdl,
+            mode, phrase, require_all, exclude=exclude, slop=slop,
+        )
+
     def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0,
              slop=0):
         """Mode dispatch, segment-aware: single-segment serves straight from
-        the shared kernel dispatcher; multi-segment runs the SAME dispatcher
+        the shared kernel dispatcher (hot conjunctions fanned over range
+        buckets — _dispatch_fanned); multi-segment runs the SAME dispatcher
         per segment (block-max WAND included — each segment's blocks honor
         the sorted-disjoint invariant) with stale-duplicate exclusion, then
         merges the per-segment top-k lists.  After exclusion no doc can
         appear in two segments, so the merge is a plain (score desc, doc_id
         asc) resort."""
         if self._single_segment:
-            return _dispatch_query(
-                term_blocks, term_df, k, self.n_docs, self.avgdl,
-                mode, phrase, require_all, slop=slop,
+            return self._dispatch_fanned(
+                term_blocks, term_df, k, mode, phrase, require_all,
+                exclude=None, slop=slop,
             )
         seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
@@ -270,10 +378,9 @@ class IndexServer:
                 for t, b in term_blocks.items()
                 if (b["seg"] == si).any()
             }
-            for _r, d, s in _dispatch_query(
-                sub, term_df, k, self.n_docs, self.avgdl,
-                mode, phrase, require_all, exclude=self._stale.get(si),
-                slop=slop,
+            for _r, d, s in self._dispatch_fanned(
+                sub, term_df, k, mode, phrase, require_all,
+                exclude=self._stale.get(si), slop=slop,
             ):
                 pooled.append((s, d))
         pooled.sort(key=lambda e: (-e[0], e[1]))

@@ -256,3 +256,68 @@ def test_search_batch_phrase_and_mode_validation(spark, sf001_index):
     assert len(batch[batch["query_id"] == 2]) > 0
     with pytest.raises(ValueError, match="unknown query mode"):
         srv.search("stream", "python", k=5, mode="PHARSE")
+
+
+def test_serve_hot_conjunctive_fanout_rank_identical(spark, tmp_path):
+    """Round-4: IndexServer fans hot AND/PHRASE/NEAR queries over doc-id
+    range buckets (a thread pool over the blocks it fetched anyway) —
+    results must be rank-identical to the single-task kernel AND to
+    bm25_distributed's rb fan-out, for every conjunctive mode."""
+    import pandas as pd
+
+    from horus_ner_spark.index.build import build_index
+    from horus_ner_spark.index.query import bm25_distributed
+
+    thr = 32
+    rows = []
+    for i in range(160):
+        if i % 4 == 0:
+            body = "hotword nextword tail"
+        elif i % 4 == 1:
+            body = "hotword filler nextword"  # NEAR hit, PHRASE miss
+        else:
+            body = "hotword filler only"
+        rows.append(f"{body} pad{i}")
+    docs = pd.DataFrame(
+        {
+            "repo": ["r"] * 160,
+            "path": [f"f{i}" for i in range(160)],
+            "commit": ["c"] * 160,
+            "lang": ["en"] * 160,
+            "content": rows,
+        }
+    )
+    cp = str(tmp_path / "c.parquet")
+    spark.createDataFrame(docs).write.parquet(cp)
+    paths = build_index(spark, cp, str(tmp_path / "ix"), split_threshold=thr)
+
+    fanned = IndexServer(paths.root, split_threshold=thr)
+    single = IndexServer(paths.root, split_threshold=thr, fanout_workers=0)
+    queries = [
+        {"query_id": 1, "query_text": "hotword nextword", "lang": "en",
+         "k": 200, "mode": "PHRASE"},
+        {"query_id": 2, "query_text": "hotword nextword", "lang": "en",
+         "k": 200, "mode": "AND"},
+        {"query_id": 3, "query_text": "hotword nextword", "lang": "en",
+         "k": 200, "mode": "NEAR", "slop": 3},
+    ]
+    dist = {}
+    for r in bm25_distributed(
+        spark, paths, queries, split_threshold=thr
+    ).collect():
+        dist.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    n_hits = 0
+    for q in queries:
+        a = fanned.search(q["query_text"], "en", q["k"], q["mode"],
+                          slop=q.get("slop", 8))
+        b = single.search(q["query_text"], "en", q["k"], q["mode"],
+                          slop=q.get("slop", 8))
+        assert a.equals(b), q["mode"]
+        got = list(zip(a["rank"], a["doc_id"], a["score"]))
+        assert [(int(r), int(d), float(s)) for r, d, s in got] == sorted(
+            dist.get(q["query_id"], [])
+        ), q["mode"]
+        n_hits += len(got)
+    assert n_hits > 0
