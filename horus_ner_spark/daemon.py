@@ -79,11 +79,19 @@ class ServeDaemon:
                 if self.path != "/stats":
                     return self._reply(404, {"error": "unknown path"})
                 s = daemon.latency_summary()
+                hits, misses = (
+                    daemon.server.cache_hits, daemon.server.cache_misses
+                )
                 self._reply(
                     200,
                     {
                         "n_docs": daemon.server.n_docs,
                         "avgdl": daemon.server.avgdl,
+                        "lru_hits": hits,
+                        "lru_misses": misses,
+                        "lru_hit_rate": round(hits / (hits + misses), 4)
+                        if hits + misses
+                        else 0.0,
                         **s,
                     },
                 )
@@ -108,8 +116,17 @@ class ServeDaemon:
                         df = daemon.server.search_batch(req.get("queries", []))
                     else:
                         return self._reply(404, {"error": "unknown path"})
-                except Exception as exc:  # surface, don't kill the daemon
-                    return self._reply(500, {"error": str(exc)})
+                except ValueError as exc:
+                    # client error (bad mode/slop): precise message, 400
+                    return self._reply(400, {"error": str(exc)})
+                except Exception:  # surface generically, don't kill the
+                    # daemon — and never echo internals to network peers
+                    # (exception text can leak paths/config); full trace
+                    # goes to the server log instead
+                    import traceback
+
+                    traceback.print_exc()
+                    return self._reply(500, {"error": "internal error"})
                 ms = (time.monotonic() - t0) * 1000.0
                 with daemon._lock:
                     daemon._latencies_ms.append(ms)
@@ -153,10 +170,21 @@ class ServeDaemon:
 
 
 def main(argv: list[str]) -> None:
-    index_dir = argv[0]
-    port = int(argv[1]) if len(argv) > 1 else 8765
-    d = ServeDaemon(index_dir, host="0.0.0.0", port=port).start()
-    print(f"serving {index_dir} on :{d.port}", flush=True)
+    """``python -m horus_ner_spark.daemon <index_dir> [port] [--host H]``.
+
+    Binds loopback by default — the daemon is unauthenticated, so exposing
+    it must be an explicit operator decision (``--host 0.0.0.0``), never
+    the default posture."""
+    rest = list(argv)
+    host = "127.0.0.1"
+    if "--host" in rest:
+        i = rest.index("--host")
+        host = rest[i + 1]
+        del rest[i : i + 2]
+    index_dir = rest[0]
+    port = int(rest[1]) if len(rest) > 1 else 8765
+    d = ServeDaemon(index_dir, host=host, port=port).start()
+    print(f"serving {index_dir} on {host}:{d.port}", flush=True)
     try:
         while True:
             time.sleep(3600)

@@ -62,6 +62,7 @@ from horus_ner_spark.index.build import (
     SPLIT_THRESHOLD,
     IndexPaths,
     encode_run,
+    read_corpus_stats,
 )
 from horus_ner_spark.index.codec import decode_block, vb_decode
 
@@ -252,9 +253,7 @@ def merge_indexes(
     n_docs = catalog.read_table(spark, out.docs).count()
     seg_doc_sum = 0
     for seg in segments:
-        seg_doc_sum += int(
-            catalog.read_table(spark, seg.corpus_stats).collect()[0]["n_docs"]
-        )
+        seg_doc_sum += int(read_corpus_stats(seg)["n_docs"])
     overlap = seg_doc_sum != n_docs
     total_len = catalog.read_table(spark, out.doclens).agg(
         F.sum("doclen").alias("t")

@@ -50,6 +50,7 @@ from horus_ner_spark.index.build import (
     POSTINGS_SCHEMA,
     IndexPaths,
     encode_run,
+    read_corpus_stats,
 )
 from horus_ner_spark.index.codec import decode_block, vb_decode
 
@@ -121,8 +122,7 @@ def prune_index(
     ensure_package_on_executors(spark)
     out = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    stats = catalog.read_table(spark, paths.corpus_stats).collect()[0]
-    avgdl = float(stats["avgdl"])
+    avgdl = float(read_corpus_stats(paths)["avgdl"])
 
     pruned = (
         catalog.read_table(spark, paths.postings)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -35,16 +36,34 @@ from pyspark.sql.window import Window
 from horus_ner_spark.functions.bucketing import term_bucket
 from horus_ner_spark.functions.tokenizer import tokenize
 from horus_ner_spark.index import bm25
-from horus_ner_spark.index.build import IndexPaths, N_PBUCKETS
+from horus_ner_spark.index.build import IndexPaths, N_PBUCKETS, read_corpus_stats
 from horus_ner_spark.index.codec import decode_block, decode_positions, vb_decode
 
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
-# block columns the scoring kernels read (pos_vb added only for PHRASE)
+# block columns the scoring kernels read (pos_vb added only for PHRASE).
+# The sub_* impact-range columns (layout v5) feed WAND's shallow bounds;
+# reads drop them transparently for pre-v5 indexes (_cols_present).
 _KERNEL_BLOCK_COLS = (
     "term", "min_doc_id", "max_doc_id", "n_postings", "block_max_tfnorm",
     "doc_ids_vb", "tfs_vb", "doclens_vb",
+    "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms",
 )
+
+_SUB_COLS = ("sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms")
+
+
+def _cols_present(wanted, available) -> list[str]:
+    """Column list restricted to what the table actually has — only the
+    optional sub_* metadata may be absent (pre-v5 indexes)."""
+    avail = set(available)
+    return [c for c in wanted if c in avail or c not in _SUB_COLS]
+
+
+# Decode accounting (diagnostics): postings actually decoded by _TermIter —
+# the numerator of WAND's skip-efficiency ratio (BENCH.md wand_decode_ratio).
+# Plain counters; benchmark reads run the kernel single-threaded.
+DECODE_STATS = {"blocks": 0, "postings": 0}
 
 
 def queries_to_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
@@ -87,7 +106,7 @@ def bm25_bruteforce(
     spark: SparkSession, paths: IndexPaths, queries: list[dict]
 ) -> DataFrame:
     """results(query_id, rank, doc_id, score) via pure DataFrame ops."""
-    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    stats = read_corpus_stats(paths)  # driver-side pyarrow: no Spark job
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qt = spark.createDataFrame(
         _query_terms(queries) or [{"query_id": -1, "term": ""}],
@@ -129,35 +148,67 @@ _INF = 1 << 63
 class _TermIter:
     """Cursor over one term's posting blocks, sorted by min_doc_id.
 
-    Decode is lazy: block skipping via (min_doc_id, max_doc_id, block_max)
-    metadata never touches the compressed bytes.
+    Decode is lazy: skipping via (min_doc_id, max_doc_id, max_tfnorm)
+    metadata never touches the compressed bytes.  With layout v5 the
+    metadata arrays are at IMPACT SUB-RANGE granularity (SUB_BLOCKS
+    entries per block): shallow bounds get ~4x tighter and skip jumps land
+    on sub-range boundaries, while decode stays per block (``blk_of`` maps
+    each metadata entry to its parent block; a decoded block is cached so
+    crossing its sub-ranges never re-decodes).
     """
 
     __slots__ = (
-        "term", "idf", "ub", "mins", "maxs", "bmaxs", "dvb", "tvb", "lvb",
-        "bi", "pos", "docs", "tfs", "dls", "cur",
+        "term", "idf", "ub", "mins", "maxs", "bmaxs", "blk_of", "dvb",
+        "tvb", "lvb", "bi", "pos", "docs", "tfs", "dls", "cur", "dec_blk",
     )
 
     def __init__(self, term: str, idf: float, blocks: pd.DataFrame) -> None:
         blocks = blocks.sort_values("min_doc_id", kind="mergesort")
         self.term = term
         self.idf = idf
-        self.mins = blocks["min_doc_id"].to_numpy(np.int64)
-        self.maxs = blocks["max_doc_id"].to_numpy(np.int64)
-        # blocks store the idf-free tfnorm bound; idf is constant per term
-        self.bmaxs = idf * blocks["block_max_tfnorm"].to_numpy(np.float64)
         self.dvb = blocks["doc_ids_vb"].tolist()
         self.tvb = blocks["tfs_vb"].tolist()
         self.lvb = blocks["doclens_vb"].tolist()
+        sub = (
+            "sub_min_doc_ids" in blocks.columns
+            and blocks["sub_min_doc_ids"].notna().all()
+        )
+        if sub:
+            sub_mins = blocks["sub_min_doc_ids"].tolist()
+            counts = np.array([len(s) for s in sub_mins], dtype=np.int64)
+            self.mins = np.concatenate(
+                [np.asarray(s, dtype=np.int64) for s in sub_mins]
+            )
+            self.maxs = np.concatenate(
+                [np.asarray(s, dtype=np.int64)
+                 for s in blocks["sub_max_doc_ids"]]
+            )
+            # metadata stores the idf-free tfnorm bound; idf is per-term
+            self.bmaxs = idf * np.concatenate(
+                [np.asarray(s, dtype=np.float64)
+                 for s in blocks["sub_max_tfnorms"]]
+            )
+            self.blk_of = np.repeat(np.arange(len(counts)), counts)
+        else:  # pre-v5 index: block-granular metadata
+            self.mins = blocks["min_doc_id"].to_numpy(np.int64)
+            self.maxs = blocks["max_doc_id"].to_numpy(np.int64)
+            self.bmaxs = idf * blocks["block_max_tfnorm"].to_numpy(np.float64)
+            self.blk_of = np.arange(len(self.mins))
         self.ub = float(self.bmaxs.max())  # global term upper bound
         self.bi = 0
         self.pos = 0
         self.docs = None
+        self.dec_blk = -1
         self.cur = int(self.mins[0])
 
-    def _decode(self) -> None:
-        self.docs, self.tfs = decode_block(bytes(self.dvb[self.bi]), bytes(self.tvb[self.bi]))
-        self.dls = vb_decode(bytes(self.lvb[self.bi])).view(np.int64)
+    def _decode(self, blk: int) -> None:
+        self.docs, self.tfs = decode_block(
+            bytes(self.dvb[blk]), bytes(self.tvb[blk])
+        )
+        self.dls = vb_decode(bytes(self.lvb[blk])).view(np.int64)
+        self.dec_blk = blk
+        DECODE_STATS["blocks"] += 1
+        DECODE_STATS["postings"] += len(self.docs)
 
     def next_geq(self, target: int) -> int:
         """Advance to the first posting with doc_id >= target."""
@@ -166,20 +217,32 @@ class _TermIter:
         while self.bi < len(self.mins):
             if self.maxs[self.bi] < target:  # metadata skip, no decode
                 self.bi += 1
-                self.docs = None
-                self.pos = 0
                 continue
-            if self.docs is None:
-                self._decode()
+            if target <= self.mins[self.bi]:
+                # the whole (sub-)range is at/after target, so its FIRST doc
+                # — stored exactly in the metadata — is the answer: the
+                # cursor advances VIRTUALLY, and the block decodes only if
+                # this doc is actually evaluated (score_current) or searched
+                # past.  This is what makes a failed-bound skip cost zero
+                # decode even on the landing block.
+                self.cur = int(self.mins[self.bi])
+                self.pos = -1
+                return self.cur
+            blk = int(self.blk_of[self.bi])
+            if self.dec_blk != blk:
+                self._decode(blk)
             pos = int(np.searchsorted(self.docs, target, side="left"))
             self.pos = pos
             self.cur = int(self.docs[pos])
+            # keep bi on the sub-range containing cur (shallow pointers)
+            while self.maxs[self.bi] < self.cur:
+                self.bi += 1
             return self.cur
         self.cur = _INF
         return self.cur
 
     def block_max_at(self, target: int) -> float:
-        """Block-max upper bound of the block that would contain ``target``
+        """Upper bound of the (sub-)block that would contain ``target``
         (shallow advance — metadata only)."""
         bj = self.bi
         while bj < len(self.mins) and self.maxs[bj] < target:
@@ -187,15 +250,18 @@ class _TermIter:
         return float(self.bmaxs[bj]) if bj < len(self.mins) else 0.0
 
     def block_boundary_at(self, target: int) -> int:
-        """max_doc_id of the (shallow) block containing target."""
+        """max_doc_id of the (shallow) (sub-)block containing target."""
         bj = self.bi
         while bj < len(self.mins) and self.maxs[bj] < target:
             bj += 1
         return int(self.maxs[bj]) if bj < len(self.mins) else _INF
 
     def score_current(self, n_docs: int, avgdl: float) -> float:
-        if self.docs is None:
-            self._decode()
+        blk = int(self.blk_of[self.bi])
+        if self.docs is None or self.dec_blk != blk:
+            self._decode(blk)
+            self.pos = -1
+        if self.pos < 0:  # cursor was advanced virtually (metadata only)
             self.pos = int(np.searchsorted(self.docs, self.cur, side="left"))
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
@@ -564,9 +630,32 @@ def _wand_one_query(
             break  # no doc can enter the heap anymore
         pivot = iters[pivot_idx].cur
 
+        # Block-max refinement BEFORE any decode-advance (Ding & Suel BMW):
+        # the (sub-)block bounds at pivot cap every doc in [pivot, d] for
+        # the whole candidate prefix — checking here means a failed bound
+        # skips WITHOUT the alignment decode the round-3 code paid first.
+        bm_sum = sum(
+            it.block_max_at(pivot) for it in iters if it.cur <= pivot
+        )
+        if bm_sum < theta_eff:
+            # Skip (NextShallow): jump the candidate (prefix) iterators
+            # past the smallest current-(sub-)block boundary among them —
+            # every doc in (pivot, d] sits in those same ranges, so the
+            # failed bound covers the whole jump.  Clamp at the next
+            # iterator's cur: beyond it the UB prefix changes and the
+            # pivot check must be redone.
+            d = min(
+                it.block_boundary_at(pivot) for it in iters if it.cur <= pivot
+            )
+            if pivot_idx + 1 < len(iters):
+                d = min(d, iters[pivot_idx + 1].cur - 1)
+            target = max(d + 1, pivot + 1)
+            for it in iters:
+                if it.cur <= pivot:  # only prefix iterators move
+                    it.next_geq(target)
+            continue
+
         if iters[0].cur == pivot:
-            # block-max refinement: shallow-advance the candidate iters and
-            # re-check with per-block (not global) upper bounds.
             if (
                 exclude is not None
                 and len(exclude)
@@ -577,41 +666,21 @@ def _wand_one_query(
                     if it.cur == pivot:
                         it.next_geq(pivot + 1)
                 continue
-            bm_sum = sum(
-                it.block_max_at(pivot) for it in iters if it.cur <= pivot
-            )
-            if bm_sum >= theta_eff:
-                # full evaluation, term-sorted order for determinism
-                contribs = []
-                for it in sorted(iters, key=lambda x: x.term):
-                    it.next_geq(pivot)
-                    if it.cur == pivot:
-                        contribs.append(it.score_current(n_docs, avgdl))
-                q = bm25.quantize(math.fsum(contribs))
-                entry = (q, -pivot)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                for it in iters:
-                    if it.cur == pivot:
-                        it.next_geq(pivot + 1)
-            else:
-                # Skip (Ding & Suel NextShallow): jump the candidate (prefix)
-                # iterators past the smallest current-block boundary among
-                # them — every doc in (pivot, d] sits in those same blocks,
-                # so the failed block-max bound covers the whole jump.
-                # Clamp at the next iterator's cur: beyond it the UB prefix
-                # changes and the pivot check must be redone.
-                d = min(
-                    it.block_boundary_at(pivot) for it in iters if it.cur <= pivot
-                )
-                if pivot_idx + 1 < len(iters):
-                    d = min(d, iters[pivot_idx + 1].cur - 1)
-                target = max(d + 1, pivot + 1)
-                for it in iters:
-                    if it.cur <= pivot:  # only prefix iterators move
-                        it.next_geq(target)
+            # full evaluation, term-sorted order for determinism
+            contribs = []
+            for it in sorted(iters, key=lambda x: x.term):
+                it.next_geq(pivot)
+                if it.cur == pivot:
+                    contribs.append(it.score_current(n_docs, avgdl))
+            q = bm25.quantize(math.fsum(contribs))
+            entry = (q, -pivot)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for it in iters:
+                if it.cur == pivot:
+                    it.next_geq(pivot + 1)
         else:
             iters[0].next_geq(pivot)
 
@@ -693,7 +762,7 @@ def bm25_wand(
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
-    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    stats = read_corpus_stats(paths)  # driver-side pyarrow: no Spark job
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     qt_rows = _query_terms(queries)
@@ -734,8 +803,10 @@ def bm25_wand(
     # when the batch actually contains a PHRASE query (column pruning
     # reaches the parquet scan)
     cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
+    pread = spark.read.parquet(paths.postings)
+    cols = _cols_present(cols, pread.columns)
     blocks = (
-        spark.read.parquet(paths.postings)
+        pread
         .filter(F.col("pbucket").isin(buckets))     # directory-level pruning
         .filter(F.col("term").isin(terms))          # row-group pruning
         .join(F.broadcast(qt), "term")
@@ -809,7 +880,7 @@ def bm25_distributed(
         from horus_ner_spark.index.build import RANGE_BITS as range_bits
     if split_threshold is None:
         from horus_ner_spark.index.build import SPLIT_THRESHOLD as split_threshold
-    stats = spark.read.parquet(paths.corpus_stats).collect()[0]
+    stats = read_corpus_stats(paths)  # driver-side pyarrow: no Spark job
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qt_rows = _query_terms(queries)
     if not qt_rows:
@@ -971,8 +1042,10 @@ def _conjunctive_distributed(
     }
     qt = spark.createDataFrame(rows, "query_id int, term string")
     cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
+    pread = spark.read.parquet(paths.postings)
+    cols = _cols_present(cols, pread.columns)
     blocks = (
-        spark.read.parquet(paths.postings)
+        pread
         .filter(F.col("pbucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(qt), "term")
@@ -1109,12 +1182,23 @@ def _stale_doc_sets(
         )
         dl = d if dl is None else dl.unionByName(d)
     w = Window.partitionBy("doc_id").orderBy("seg")
+    cap = int(os.environ.get("HORUS_MAX_STALE_COLLECT", 2_000_000))
     rows = (
         dl.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .select("seg", "doc_id", "doclen")
+        .limit(cap + 1)
         .collect()
     )
+    if len(rows) > cap:
+        # the stale set is driver-collected because it is empty/tiny in
+        # the designed lifecycle (ingest dedupes; compaction removes the
+        # rest) — a pathological all-duplicate tier set must fail loudly
+        # instead of dragging millions of rows to the driver
+        raise RuntimeError(
+            f"more than {cap} stale duplicate docs across segments; "
+            "compact the tier set first (or raise HORUS_MAX_STALE_COLLECT)"
+        )
     by_seg: dict[int, list[int]] = {}
     stale_len = 0
     for r in rows:
@@ -1173,7 +1257,7 @@ def _segment_global_stats(
     n_docs = 0
     total_len = 0
     for seg in segments:
-        row = spark.read.parquet(seg.corpus_stats).collect()[0]
+        row = read_corpus_stats(seg)
         n_docs += int(row["n_docs"])
         # exact integer token total, so the summed-global avgdl is
         # bit-identical to the fully-merged index's avgdl
@@ -1255,6 +1339,8 @@ def bm25_wand_segments(
 
     qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     cols = list(_KERNEL_BLOCK_COLS) + (["pos_vb"] if phrases else [])
+    for seg in segments:  # drop sub_* metadata unless every segment has it
+        cols = _cols_present(cols, spark.read.parquet(seg.postings).columns)
     blocks = None
     for i, seg in enumerate(segments):
         b = (

@@ -52,7 +52,7 @@ from horus_ner_spark.index.build import (
     IndexPaths,
 )
 from horus_ner_spark.index.codec import decode_block
-from horus_ner_spark.index.query import _dispatch_query, _in_sorted
+from horus_ner_spark.index.query import _SUB_COLS, _dispatch_query, _in_sorted
 
 # columns the OR/AND kernels need; the LRU caches exactly these.  pos_vb
 # (the largest per-posting payload) is fetched only for PHRASE queries,
@@ -61,6 +61,7 @@ from horus_ner_spark.index.query import _dispatch_query, _in_sorted
 _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
     "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+    "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms",
 ]
 
 _MODES = ("OR", "AND", "PHRASE", "NEAR")
@@ -116,27 +117,50 @@ class IndexServer:
             )
         # stale-duplicate reconciliation: docs present in an earlier (older)
         # segment serve only from there; later copies are excluded and
-        # subtracted from every stat.  One doc_id-column scan per segment at
-        # startup; empty in the common case (ingest dedupes — incremental.py)
+        # subtracted from every stat.  ONE column-pruned doc_id scan +
+        # ONE O(T log T) sort across all segments (the round-3 version
+        # union1d'd per segment: O(S·N log N)); doclens are read only for
+        # segments that actually hold stale copies — zero in the common
+        # case (ingest dedupes — incremental.py).  The scan is capped:
+        # multi-segment serving is the between-compactions state, so a
+        # tier set this large is a "compact first" error, not a startup
+        # cost to absorb silently (bloom sidecars cannot prove segment
+        # disjointness, so there is no cheaper exact screen).
         self._stale: dict[int, np.ndarray] = {}
         if len(dirs) > 1:
-            seen = np.empty(0, dtype=np.int64)
-            for si, d in enumerate(dirs):
-                paths = IndexPaths(d)
-                ids = pq.read_table(
-                    paths.docs, columns=["doc_id"]
+            id_arrays = [
+                pq.read_table(
+                    IndexPaths(d).docs, columns=["doc_id"]
                 )["doc_id"].to_numpy()
-                if len(seen):
-                    st = np.sort(ids[_in_sorted(seen, ids)])
-                    if len(st):
-                        self._stale[si] = st
-                        n_docs -= len(st)
-                        dl = pq.read_table(
-                            paths.doclens, columns=["doc_id", "doclen"]
-                        )
-                        m = _in_sorted(st, dl["doc_id"].to_numpy())
-                        total_len -= int(dl["doclen"].to_numpy()[m].sum())
-                seen = np.union1d(seen, ids)
+                for d in dirs
+            ]
+            total = sum(len(a) for a in id_arrays)
+            cap = int(os.environ.get("HORUS_SERVE_MAX_DOC_SCAN", 50_000_000))
+            if total > cap:
+                raise RuntimeError(
+                    f"multi-segment IndexServer over {total} docs across "
+                    f"{len(dirs)} segments exceeds the startup scan cap "
+                    f"({cap}); compact the tier set first (or raise "
+                    "HORUS_SERVE_MAX_DOC_SCAN)"
+                )
+            seg_lab = np.repeat(
+                np.arange(len(id_arrays)), [len(a) for a in id_arrays]
+            )
+            allid = np.concatenate(id_arrays)
+            order = np.lexsort((seg_lab, allid))  # by doc_id, oldest seg first
+            sid, slab = allid[order], seg_lab[order]
+            dup = np.zeros(len(sid), dtype=bool)
+            dup[1:] = sid[1:] == sid[:-1]  # every non-first copy is stale
+            for si in np.unique(slab[dup]):
+                st = sid[dup & (slab == si)]  # already ascending
+                self._stale[int(si)] = st
+                n_docs -= len(st)
+                dl = pq.read_table(
+                    IndexPaths(dirs[si]).doclens,
+                    columns=["doc_id", "doclen"],
+                )
+                m = _in_sorted(st, dl["doc_id"].to_numpy())
+                total_len -= int(dl["doclen"].to_numpy()[m].sum())
         self.n_docs = n_docs
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
         self._single_segment = len(dirs) == 1
@@ -210,6 +234,11 @@ class IndexServer:
         blocks whose id range overlaps them) — giving exactly the merged
         index's df."""
         buckets = sorted({term_bucket(t, self.n_pbuckets) for t in terms})
+        cols = [
+            c for c in cols
+            if all(c in p.schema.names for p in self._postings)
+            or c not in _SUB_COLS  # sub_* metadata optional (pre-v5)
+        ]
         flt = pads.field("pbucket").isin(buckets) & pads.field("term").isin(terms)
         dfs: dict[str, int] = {}
         for ts in self._term_stats:  # df sums across segments

@@ -454,7 +454,9 @@ _LSH_A = [((2654435761 * (i + 1)) % _LSH_P) or 1 for i in range(128)]
 _LSH_B = [(40503 * (i + 1) + 7) % _LSH_P for i in range(128)]
 
 
-def banded_lsh_pairs_df(sh: DataFrame) -> DataFrame:
+def banded_lsh_pairs_df(
+    sh: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """(doc_id, shingle) -> candidate near-dup pairs via banded MinHash.
 
     One shuffle builds all 128 signature mins (map-side combine on the
@@ -462,7 +464,24 @@ def banded_lsh_pairs_df(sh: DataFrame) -> DataFrame:
     signatures hash r consecutive mins; the candidate join buckets on
     (band_id, band_sig), so no pair is ever formed outside a shared bucket
     — the property that keeps this linear-ish at 10^12 docs, where
-    band_sig becomes the partition key."""
+    band_sig becomes the partition key.
+
+    Skew handling (round-3 verdict #5 — boilerplate mega-buckets):
+
+    - **Exact-duplicate pre-collapse, always on and EXACT.**  Docs with an
+      identical 128-min signature vector (every exact content dup, plus
+      shingle-set-identical docs) collapse to one representative before
+      the band join — a dup group of m boilerplate docs costs the join ONE
+      row per band instead of m quadratic bucket hits in all 32 bands.
+      The group's pairs are reconstructed afterwards by construction, not
+      approximation: identical vectors match each other in all bands
+      (n_bands_matched = 32) and match any third doc identically, so the
+      expanded output is bit-equal to the uncollapsed join's.
+    - ``bucket_cap``: with a cap, band buckets holding more than this many
+      (distinct-signature) docs are DROPPED from the candidate join — the
+      standard recall-for-bound trade for residual near-dup boilerplate;
+      dropped-bucket count is logged.  Off (None) by default: the driver
+      oracle entry stays exactly the SQL semantics."""
     x = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         % F.lit(_LSH_P)
@@ -475,6 +494,12 @@ def banded_lsh_pairs_df(sh: DataFrame) -> DataFrame:
         for i in range(_LSH_PERMS)
     ]
     sig = hashed.groupBy("doc_id").agg(*aggs)
+    sig_key = F.md5(
+        F.concat_ws("|", *[F.col(f"mh{i}") for i in range(_LSH_PERMS)])
+    )
+    members = sig.select(sig_key.alias("sig_key"), "doc_id")
+    reps = members.groupBy("sig_key").agg(F.min("doc_id").alias("doc_id"))
+    rsig = sig.join(reps, "doc_id")  # one signature row per distinct vector
     band_sigs = F.array(
         *[
             F.md5(
@@ -485,19 +510,69 @@ def banded_lsh_pairs_df(sh: DataFrame) -> DataFrame:
             for j in range(_LSH_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band_id", "band_sig")
+    bands = rsig.select(
+        "sig_key", F.posexplode(band_sigs).alias("band_id", "band_sig")
     )
+    if bucket_cap is not None:
+        import logging
+
+        big = (
+            bands.groupBy("band_id", "band_sig")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+        )
+        n_dropped = big.count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "lsh_banded_pairs: dropping %d band buckets larger than "
+                "cap=%d (residual boilerplate; recall bound traded for "
+                "a pairs-per-bucket bound)", n_dropped, bucket_cap,
+            )
+        bands = bands.join(
+            F.broadcast(big.select("band_id", "band_sig")),
+            ["band_id", "band_sig"],
+            "left_anti",
+        )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, ["band_id", "band_sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.sig_key") < F.col("b.sig_key"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.sig_key").alias("key_a"), F.col("b.sig_key").alias("key_b")
         )
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
+    # expansion 1: cross-group pairs — every (member of A, member of B)
+    # matches exactly as its representatives did
+    ma = members.select(
+        F.col("sig_key").alias("key_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("sig_key").alias("key_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "key_a")
+        .join(mb, "key_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_bands_matched",
+        )
+    )
+    # expansion 2: within-group pairs — identical vectors match all bands
+    w1 = members.alias("w1")
+    w2 = members.alias("w2")
+    within = (
+        w1.join(w2, "sig_key")
+        .filter(F.col("w1.doc_id") < F.col("w2.doc_id"))
+        .select(
+            F.col("w1.doc_id").alias("doc_a"),
+            F.col("w2.doc_id").alias("doc_b"),
+            F.lit(_LSH_BANDS).cast("long").alias("n_bands_matched"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def lsh_banded_pairs(spark, sf_dir):

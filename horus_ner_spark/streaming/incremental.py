@@ -120,6 +120,16 @@ def _unit_age_key(path: str) -> tuple:
 _age_key_cache: dict[str, tuple] = {}
 
 
+def _tier_seq(age_keys: list[tuple]) -> int | None:
+    """Creation sequence of a new tier from its inputs' age keys: min batch
+    id over inputs that have one (key[0] == 0 marks a real seq — segments
+    and seq-carrying tiers); None when every input is a legacy
+    (name-ordered) tier, because the legacy fallback key's 0 is NOT a batch
+    id and must not claim oldest-first-wins precedence."""
+    seqs = [k[1] for k in age_keys if k[0] == 0]
+    return min(seqs) if seqs else None
+
+
 def compact_tiers(
     spark: SparkSession, index_root: str, fanout: int = DEFAULT_FANOUT
 ) -> int:
@@ -149,8 +159,12 @@ def compact_tiers(
         keys = [_unit_key(p, index_root) for p in inputs]
         # creation sequence: the oldest batch id this tier's content reaches
         # back to (recursive via the inputs' own age keys) — the merge
-        # policy and the serving order both sort by it (_unit_age_key)
-        seq = min(_unit_age_key(p)[1] for p in inputs)
+        # policy and the serving order both sort by it (_unit_age_key).
+        # Only inputs that HAVE a batch id participate: a legacy tier
+        # without ``seq`` carries the fallback key (1, 0, name) whose 0 is
+        # not a batch id and must not masquerade as "batch 0" (it would
+        # claim oldest-first-wins precedence regardless of content age).
+        seq = _tier_seq([_unit_age_key(p) for p in inputs])
         name = f"L{lvl + 1}_" + hashlib.sha256(
             json.dumps(keys, sort_keys=True).encode()
         ).hexdigest()[:10]
@@ -164,9 +178,12 @@ def compact_tiers(
             from horus_ner_spark.streaming.bloom import build_unit_bloom
 
             build_unit_bloom(spark, out_dir)
-            catalog.fs_write_json_atomic(
-                meta, {"inputs": keys, "level": lvl + 1, "seq": seq}
-            )
+            # all-legacy inputs -> omit seq: the new tier stays legacy
+            # (name-ordered fallback) rather than inventing a batch id
+            meta_obj = {"inputs": keys, "level": lvl + 1}
+            if seq is not None:
+                meta_obj["seq"] = seq
+            catalog.fs_write_json_atomic(meta, meta_obj)
         n_merges += 1
 
 
@@ -210,12 +227,19 @@ def incremental_index_stream(
     checkpoint_dir: str,
     fanout: int = DEFAULT_FANOUT,
     dedup_ingest: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Start an availableNow stream: new corpus parquet files under
     ``landing_dir`` are built into per-batch segment indexes; the tier set
     is compacted per the merge policy.  Query the live index with
     ``query.bm25_wand_segments(spark, segment_paths(index_root), ...)``.
     Returns the StreamingQuery.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many landing
+    files WITHIN one stream run — the warm-ingest path (round-3 verdict
+    #6): N pre-staged files process as N micro-batches through ONE stream
+    (one checkpoint open, one source listing amortized), instead of paying
+    a stream start/stop per delivered batch.
 
     ``dedup_ingest`` keeps each micro-batch free of already-indexed
     doc_ids, so a re-delivered document never creates a cross-segment
@@ -346,9 +370,11 @@ def incremental_index_stream(
         build_unit_bloom(spark, seg_ix)
         compact_tiers(spark, index_root, fanout)
 
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(CORPUS_SCHEMA)
-        .parquet(landing_dir)
+        reader.parquet(landing_dir)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

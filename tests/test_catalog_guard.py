@@ -67,3 +67,71 @@ def test_manifest_exposes_wall_s(spark, tmp_path):
     per_stage = mdf.groupby("stage")["wall_s"].max()
     assert set(per_stage.index) >= {"docs", "tf", "stats", "term_stats", "postings"}
     assert (per_stage > 0).all()
+
+
+def test_iceberg_branch_routes_identifiers(monkeypatch):
+    """Round-4 (#4): the Iceberg runtime is absent in this sandbox, so the
+    branch is exercised with stubs — read_table must route identifiers
+    through spark.read.table (never .parquet), and write_table through the
+    DataFrameWriterV2 (partitionedBy / createOrReplace / append) — proving
+    the switch point is real routing, not dead config."""
+    monkeypatch.setenv(catalog.FORMAT_ENV, "iceberg")
+
+    calls = []
+
+    class StubReader:
+        def table(self, ref):
+            calls.append(("read.table", ref))
+            return "df-" + ref
+
+        def parquet(self, ref):  # pragma: no cover - must never run
+            raise AssertionError("iceberg read routed to parquet")
+
+    class StubSpark:
+        read = StubReader()
+
+    assert catalog.read_table(StubSpark(), "horus.db.postings") == (
+        "df-horus.db.postings"
+    )
+    assert calls == [("read.table", "horus.db.postings")]
+
+    class StubWriterV2:
+        def __init__(self, ref):
+            self.ref = ref
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", len(cols)))
+            return self
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ref))
+
+        def append(self):
+            calls.append(("append", self.ref))
+
+    class StubDF:
+        def writeTo(self, ref):
+            calls.append(("writeTo", ref))
+            return StubWriterV2(ref)
+
+        @property
+        def write(self):  # pragma: no cover - must never run
+            raise AssertionError("iceberg write routed to parquet writer")
+
+    calls.clear()
+    catalog.write_table(StubDF(), "horus.db.postings",
+                        partition_by=("pbucket",))
+    assert calls == [
+        ("writeTo", "horus.db.postings"),
+        ("partitionedBy", 1),
+        ("createOrReplace", "horus.db.postings"),
+    ]
+
+    calls.clear()
+    catalog.write_table(StubDF(), "horus.db.tf", mode="append")
+    assert calls == [("writeTo", "horus.db.tf"), ("append", "horus.db.tf")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported mode"):
+        catalog.write_table(StubDF(), "horus.db.tf", mode="ignore")

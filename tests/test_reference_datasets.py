@@ -125,3 +125,30 @@ def test_ritter_end_to_end_index_and_serve(spark, tmp_path):
         for r in srv.search_batch(queries).itertuples()
     )
     assert served == fast
+
+
+def test_wnut15_published_counts(spark):
+    """WNUT15 (2015.conll.freebase): the reference publishes "999
+    sentence(s) cached" (processing_statistics.txt:6); the raw file ends
+    in an unterminated sentence the reference's emit-on-blank loop drops
+    and this reader keeps -> 1,000 sentences / 16,261 token lines
+    (independently verified with a line scan)."""
+    df, row = _stats(spark, f"{_DS}/wnut/2015.conll.freebase")
+    assert row["n_sentences"] == 1000
+    assert row["n_tokens"] == 16261
+    assert row["n_entity_tokens"] == 1128
+    tags = {r["ner"] for r in df.select("ner").distinct().collect()}
+    assert "O" in tags and any(t.startswith("B-") for t in tags)
+
+
+def test_wnut16_published_counts(spark):
+    """WNUT16 (2016.conll.freebase): the reference publishes "3849
+    sentences processed successfully" (processing_statistics.txt:22);
+    +1 for the final unterminated sentence -> 3,850 sentences / 61,908
+    token lines (line-scan verified; the file also contains consecutive
+    blank lines, which must not create empty sentences)."""
+    df, row = _stats(spark, f"{_DS}/wnut/2016.conll.freebase")
+    assert row["n_sentences"] == 3850
+    assert row["n_tokens"] == 61908
+    tags = {r["ner"] for r in df.select("ner").distinct().collect()}
+    assert {"O", "B-other"} <= tags

@@ -321,3 +321,43 @@ def test_serve_hot_conjunctive_fanout_rank_identical(spark, tmp_path):
         ), q["mode"]
         n_hits += len(got)
     assert n_hits > 0
+
+
+def test_stale_collect_capped_on_adversarial_dup_segments(
+    spark, tmp_path, monkeypatch
+):
+    """Round-4 (#7): the stale-duplicate reconciliation collects to the
+    driver because the designed lifecycle keeps it empty; a pathological
+    tier set (every doc duplicated) must fail loudly at a bounded size —
+    in the Spark path AND the pyarrow serving path — not drag the whole
+    doc set to the driver."""
+    import pytest as _pytest
+
+    from horus_ner_spark.corpus import write_corpus
+    from horus_ner_spark.index.build import build_index
+    from horus_ner_spark.index.query import bm25_wand_segments
+
+    cp = write_corpus(spark, str(tmp_path), sf=0.0003)
+    a = build_index(spark, cp, str(tmp_path / "a"))
+    b = build_index(spark, cp, str(tmp_path / "b"))  # 100% duplicates
+
+    monkeypatch.setenv("HORUS_MAX_STALE_COLLECT", "5")
+    with _pytest.raises(RuntimeError, match="compact the tier set"):
+        bm25_wand_segments(
+            spark, [a, b],
+            [{"query_id": 1, "query_text": "stream", "lang": "python",
+              "k": 5}],
+        )
+
+    monkeypatch.setenv("HORUS_SERVE_MAX_DOC_SCAN", "10")
+    with _pytest.raises(RuntimeError, match="compact the tier set"):
+        IndexServer([a.root, b.root])
+
+    # defaults: same tier set serves fine, duplicates reconciled exactly
+    monkeypatch.delenv("HORUS_MAX_STALE_COLLECT")
+    monkeypatch.delenv("HORUS_SERVE_MAX_DOC_SCAN")
+    srv = IndexServer([a.root, b.root])
+    one = IndexServer(a.root)
+    res = srv.search("stream", "python", 5)
+    assert res.equals(one.search("stream", "python", 5))
+    assert srv.n_docs == one.n_docs

@@ -171,3 +171,17 @@ def test_unit_age_key_orders_numerically():
     tiers = ["/ix/tiers/L1_aa", "/ix/tiers/L1_bb"]
     assert sorted(tiers, key=_unit_age_key) == tiers
     assert _unit_age_key(paths[0]) < _unit_age_key(tiers[0])
+
+
+def test_tier_seq_ignores_legacy_fallback_keys():
+    """Round-4 (advice): a legacy tier without ``seq`` has fallback age key
+    (1, 0, name); its 0 must not masquerade as batch id 0 when a new tier
+    computes its creation sequence."""
+    from horus_ner_spark.streaming.incremental import _tier_seq
+
+    # seg_3 + legacy tier: seq comes from the segment, not the fallback 0
+    assert _tier_seq([(0, 3, ""), (1, 0, "L1_abc")]) == 3
+    # seq-carrying tiers: plain min
+    assert _tier_seq([(0, 5, "L1_a"), (0, 2, "L1_b")]) == 2
+    # all-legacy inputs: no seq at all (stays name-ordered)
+    assert _tier_seq([(1, 0, "L1_a"), (1, 0, "L1_b")]) is None

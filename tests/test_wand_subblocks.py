@@ -1,0 +1,129 @@
+"""Layout v5 sub-block impact metadata: WAND stays rank-identical while
+decoding strictly fewer postings than with block-granular maxima alone
+(round-3 verdict #3 — impact-quantized block maxima).
+
+Pure-kernel test: posting blocks are synthesized through the real
+encode_run (the same function the build/merge/prune pipelines call), so
+the sub_* columns here are exactly what a v5 index stores.
+"""
+
+import numpy as np
+import pandas as pd
+
+from horus_ner_spark.index.build import SUB_BLOCKS, encode_run
+from horus_ner_spark.index.query import (
+    _SUB_COLS,
+    DECODE_STATS,
+    _exhaustive_one_query,
+    _wand_one_query,
+)
+
+
+def _mk_blocks(term: str, n: int, seed: int, spike_every: int) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    ids = np.unique(
+        rng.randint(0, np.int64(1) << 62, size=2 * n, dtype=np.int64)
+    )
+    doc_ids = np.sort(ids[:n])
+    assert len(doc_ids) == n
+    tfs = rng.randint(1, 4, size=n).astype(np.int64)
+    # sparse high-impact spikes: a block-granular max is poisoned by one
+    # spike per 128 postings; sub-granular maxima stay tight elsewhere
+    tfs[rng.randint(0, spike_every, size=n) == 0] = 60
+    doclens = rng.randint(50, 500, size=n).astype(np.int64)
+    rows = encode_run(
+        term, 0, doc_ids, tfs, doclens,
+        b"", np.zeros(n + 1, dtype=np.int64), avgdl=200.0, block_size=128,
+    )
+    return pd.DataFrame(rows)
+
+
+def test_subblock_metadata_shape():
+    b = _mk_blocks("t", 300, seed=1, spike_every=50)
+    assert {len(x) for x in b["sub_min_doc_ids"]} <= {SUB_BLOCKS}
+    for _, r in b.iterrows():
+        assert r["sub_min_doc_ids"][0] == r["min_doc_id"]
+        assert r["sub_max_doc_ids"][-1] == r["max_doc_id"]
+        assert max(r["sub_max_tfnorms"]) == r["block_max_tfnorm"]
+        # sub ranges tile the block in doc_id order
+        for j in range(len(r["sub_min_doc_ids"]) - 1):
+            assert r["sub_max_doc_ids"][j] < r["sub_min_doc_ids"][j + 1]
+
+
+def _run_both(blocks, term_df, k, n_docs, avgdl):
+    """(results, decoded postings) with sub metadata vs stripped to
+    block-granular metadata."""
+    DECODE_STATS.update(blocks=0, postings=0)
+    got_sub = _wand_one_query(blocks, term_df, k, n_docs, avgdl)
+    dec_sub = DECODE_STATS["postings"]
+    stripped = {t: b.drop(columns=list(_SUB_COLS)) for t, b in blocks.items()}
+    DECODE_STATS.update(blocks=0, postings=0)
+    got_blk = _wand_one_query(stripped, term_df, k, n_docs, avgdl)
+    dec_blk = DECODE_STATS["postings"]
+    return got_sub, dec_sub, got_blk, dec_blk
+
+
+def test_wand_subblocks_rank_identical_two_terms():
+    blocks = {
+        "alpha": _mk_blocks("alpha", 20_000, seed=7, spike_every=100),
+        "beta": _mk_blocks("beta", 3_000, seed=8, spike_every=100),
+    }
+    term_df = {t: int(b["n_postings"].sum()) for t, b in blocks.items()}
+    truth = _exhaustive_one_query(blocks, term_df, 10, 2_000_000, 200.0)
+    got_sub, dec_sub, got_blk, dec_blk = _run_both(
+        blocks, term_df, 10, 2_000_000, 200.0
+    )
+    assert got_sub == truth == got_blk
+    assert dec_sub <= dec_blk
+
+
+def test_wand_virtual_cursor_skips_decode_hot_list():
+    """Top-k over one hot list: failed-bound skips must not decode the
+    landing block (the metadata sub/block mins are exact first-doc ids, so
+    the cursor advances virtually) — decode count collapses to roughly the
+    blocks whose bound beats the final threshold."""
+    blocks = {"alpha": _mk_blocks("alpha", 50_000, seed=7, spike_every=100)}
+    term_df = {"alpha": 50_000}
+    truth = _exhaustive_one_query(blocks, term_df, 10, 2_000_000, 200.0)
+    got_sub, dec_sub, got_blk, dec_blk = _run_both(
+        blocks, term_df, 10, 2_000_000, 200.0
+    )
+    assert got_sub == truth == got_blk
+    # with ~18% of blocks bounding above the final threshold, decoded
+    # postings must be a small fraction of the list, on both layouts
+    assert dec_blk < 0.3 * 50_000
+    assert dec_sub <= dec_blk
+
+
+def test_wand_subblocks_fewer_decodes_two_terms():
+    """Rare-AND-hot query: the pivot stream comes from the rare term; the
+    hot term's (sub-)bound decides decode-vs-skip at each pivot.  A block
+    max is poisoned by one spike in its 128 postings, a sub max only by
+    one in its 32 — sub-granular bounds must decode strictly less."""
+    import pandas as pd
+
+    from horus_ner_spark.index.codec import decode_block
+
+    beta = _mk_blocks("beta", 50_000, seed=7, spike_every=100)
+    bd = np.concatenate(
+        [decode_block(bytes(d), bytes(t))[0]
+         for d, t in zip(beta["doc_ids_vb"], beta["tfs_vb"])]
+    )
+    rng = np.random.RandomState(11)
+    pick = np.sort(rng.choice(bd, size=1500, replace=False))
+    # constant tf/doclen -> the rare term's bound is exactly its
+    # contribution, so the skip decision isolates the hot term's bound
+    ones = np.ones(1500, dtype=np.int64)
+    alpha = pd.DataFrame(
+        encode_run("alpha", 0, pick, ones, 200 * ones,
+                   b"", np.zeros(1501, dtype=np.int64), 200.0, 128)
+    )
+    blocks = {"alpha": alpha, "beta": beta}
+    term_df = {"alpha": 1500, "beta": 50_000}
+    truth = _exhaustive_one_query(blocks, term_df, 10, 2_000_000, 200.0)
+    got_sub, dec_sub, got_blk, dec_blk = _run_both(
+        blocks, term_df, 10, 2_000_000, 200.0
+    )
+    assert got_sub == truth == got_blk
+    # the whole point: sub-granular bounds decode strictly less
+    assert dec_sub < dec_blk, (dec_sub, dec_blk)
