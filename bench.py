@@ -110,6 +110,61 @@ def main() -> None:
     server.search("hash_join mergeSort", "python", k=10, mode="NEAR", slop=8)
     timings["serve_near_query"] = round(time.perf_counter() - t0, 4)
 
+    # hot-conjunctive serving fan-out (round 4): a NEAR query over the 3
+    # highest-df terms, served fanned over range buckets vs pinned to one
+    # in-process kernel task — the round-3 verdict's top item
+    top3 = [
+        r["term"]
+        for r in spark.read.parquet(paths.term_stats)
+        .orderBy("df", ascending=False)
+        .limit(3)
+        .collect()
+    ]
+    hot_q = " ".join(top3)
+    server.search(hot_q, "python", k=10, mode="NEAR", slop=8)  # warm cache
+    t0 = time.perf_counter()
+    server.search(hot_q, "python", k=10, mode="NEAR", slop=8)
+    timings["serve_near_hot"] = round(time.perf_counter() - t0, 3)
+    single_task = IndexServer(paths.root, fanout_workers=0)
+    t0 = time.perf_counter()
+    single_task.search(hot_q, "python", k=10, mode="NEAR", slop=8)
+    timings["serve_near_hot_1task"] = round(time.perf_counter() - t0, 3)
+
+    # WAND skip efficiency (round 4): decoded-postings ratio on the hot
+    # 3-term OR query, sub-block metadata vs block-granular metadata
+    from horus_ner_spark.index.query import (
+        _SUB_COLS,
+        _wand_one_query,
+        DECODE_STATS,
+        read_corpus_stats,
+    )
+
+    stats_row = read_corpus_stats(paths)
+    dfs, blocks = server._fetch(
+        sorted(set(top3)),
+        ["term", "min_doc_id", "max_doc_id", "n_postings",
+         "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+         "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms"],
+    )
+    tb = {t: blocks[blocks["term"] == t] for t in set(top3)}
+    total_post = sum(int(b["n_postings"].sum()) for b in tb.values())
+    DECODE_STATS.update(blocks=0, postings=0)
+    _wand_one_query(tb, dfs, 10, int(stats_row["n_docs"]),
+                    float(stats_row["avgdl"]))
+    dec_sub = DECODE_STATS["postings"]
+    stripped = {t: b.drop(columns=list(_SUB_COLS)) for t, b in tb.items()}
+    DECODE_STATS.update(blocks=0, postings=0)
+    _wand_one_query(stripped, dfs, 10, int(stats_row["n_docs"]),
+                    float(stats_row["avgdl"]))
+    dec_blk = DECODE_STATS["postings"]
+    wand_decode = {
+        "total_postings": total_post,
+        "decoded_subblock": dec_sub,
+        "decoded_blockmax": dec_blk,
+        "ratio_subblock": round(dec_sub / total_post, 4),
+        "ratio_blockmax": round(dec_blk / total_post, 4),
+    }
+
     # partition-parallel single-query scoring (the mega-query scale path)
     from horus_ner_spark.index.query import bm25_distributed
 
@@ -150,6 +205,48 @@ def main() -> None:
             urllib.request.urlopen(req, timeout=60).read()
     timings["serve_daemon_http_batch"] = round(time.perf_counter() - t0, 3)
     daemon_lat = daemon.latency_summary()
+
+    # concurrent load (round 4): 32 parallel clients, each replaying the
+    # reference query set; daemon-side accounting gives loaded p50/p99 and
+    # /stats exposes the LRU hit rate
+    import threading
+
+    def client():
+        for q in query_set():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{daemon.port}/search",
+                data=_json.dumps(
+                    {"query_text": q["query_text"], "lang": q["lang"],
+                     "k": q["k"]}
+                ).encode(),
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=120).read()
+
+    before = daemon.latency_summary()["queries_served"]
+    threads = [threading.Thread(target=client) for _ in range(32)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    conc_wall = time.perf_counter() - t0
+    timings["serve_daemon_concurrent32"] = round(conc_wall, 3)
+    after = daemon.latency_summary()
+    stats_resp = _json.loads(
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/stats", timeout=60
+        ).read()
+    )
+    daemon_conc = {
+        "clients": 32,
+        "queries": after["queries_served"] - before,
+        "wall_s": round(conc_wall, 3),
+        "qps": round((after["queries_served"] - before) / conc_wall, 1),
+        "p50_ms": after["p50_ms"],
+        "p99_ms": after["p99_ms"],
+        "lru_hit_rate": stats_resp.get("lru_hit_rate"),
+    }
     daemon.shutdown()
 
     # compaction (round 3: per-(term,rb) parallel re-block, no tf shuffle):
@@ -209,6 +306,8 @@ def main() -> None:
         "bm25_serve_p99_s": round(p99, 4),
         "daemon_http_p50_ms": round(daemon_lat["p50_ms"], 3),
         "daemon_http_p99_ms": round(daemon_lat["p99_ms"], 3),
+        "daemon_concurrent32": daemon_conc,
+        "wand_decode": wand_decode,
         "build_stage_wall_s": stage_wall,
         "cpu_calib_s": {"start": calib_start, "end": cpu_calibration()},
         "cores": CPUS,

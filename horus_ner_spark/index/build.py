@@ -146,6 +146,87 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     return corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
+def _encode_stream(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    bstarts: np.ndarray,
+    bends: np.ndarray,
+    avgdl: float,
+):
+    """Vectorized block encoding of one or many doc_id-sorted runs.
+
+    ``bstarts``/``bends`` delimit the blocks (the boundaries must include
+    every run boundary).  The three varbyte streams are encoded in ONE
+    codec call each over the whole input and sliced per block — byte-
+    identical to per-block encoding (varbyte is per-value; each block's
+    first doc_id is stored absolute via the gap mask), but without the
+    ~0.1 ms fixed numpy cost per tiny call that dominated the encode stage
+    (round-4 profile: 43k vb_encode calls were 5 s of a 5k-doc build).
+
+    Returns per-block columns: min/max_doc_id, n_postings,
+    block_max_tfnorm, the three vb byte slices, and the sub_* impact
+    metadata arrays.
+    """
+    from horus_ner_spark.index.codec import _SIGN_FLIP, vb_encode
+
+    n = len(doc_ids)
+    tfnorms = tfs * (bm25.K1 + 1.0) / (
+        tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
+    )
+    u = np.ascontiguousarray(doc_ids, dtype=np.int64).view(np.uint64) ^ _SIGN_FLIP
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = u[1:] - u[:-1] - np.uint64(1)
+    gaps[bstarts] = u[bstarts]  # block-first doc_ids stored absolute
+
+    def _ends(stream: bytes) -> np.ndarray:
+        arr = np.frombuffer(stream, dtype=np.uint8)
+        return np.flatnonzero(arr < 0x80) + 1  # byte end of each value
+
+    enc_d = vb_encode(gaps)
+    enc_t = vb_encode(np.ascontiguousarray(tfs, dtype=np.int64).view(np.uint64))
+    enc_l = vb_encode(doclens.astype(np.uint64))
+    vend_d, vend_t, vend_l = _ends(enc_d), _ends(enc_t), _ends(enc_l)
+
+    def _slices(enc: bytes, vend: np.ndarray) -> list[bytes]:
+        starts = np.where(bstarts > 0, vend[bstarts - 1], 0)
+        ends = vend[bends - 1]
+        return [enc[s:e] for s, e in zip(starts, ends)]
+
+    # impact sub-ranges: SUB_BLOCKS doc-id-ordered slices per block with
+    # their own (min, max, max_tfnorm) — the WAND kernel's shallow bounds
+    # at 1/4 block granularity (a single per-block max is dominated by one
+    # hot posting).  Built as flat global arrays: sub starts ascend across
+    # blocks, so one reduceat covers every sub of every block.
+    ns = bends - bstarts
+    ks = np.minimum(SUB_BLOCKS, ns)
+    blk_idx_l, sub_starts_l, sub_ends_l = [], [], []
+    for j in range(SUB_BLOCKS):
+        m = j < ks
+        blk_idx_l.append(np.flatnonzero(m))
+        sub_starts_l.append(bstarts[m] + j * ns[m] // ks[m])
+        sub_ends_l.append(bstarts[m] + (j + 1) * ns[m] // ks[m])
+    order = np.argsort(np.concatenate(blk_idx_l), kind="stable")
+    sub_starts = np.concatenate(sub_starts_l)[order]
+    sub_ends = np.concatenate(sub_ends_l)[order]
+    cuts = np.cumsum(ks)[:-1]
+    return {
+        "min_doc_id": doc_ids[bstarts],
+        "max_doc_id": doc_ids[bends - 1],
+        "n_postings": ns,
+        "block_max_tfnorm": np.maximum.reduceat(tfnorms, bstarts),
+        "doc_ids_vb": _slices(enc_d, vend_d),
+        "tfs_vb": _slices(enc_t, vend_t),
+        "doclens_vb": _slices(enc_l, vend_l),
+        "sub_min_doc_ids": np.split(doc_ids[sub_starts], cuts),
+        "sub_max_doc_ids": np.split(doc_ids[sub_ends - 1], cuts),
+        "sub_max_tfnorms": np.split(
+            np.maximum.reduceat(tfnorms, sub_starts), cuts
+        ),
+    }
+
+
 def encode_run(
     term: str,
     rb: int,
@@ -159,48 +240,39 @@ def encode_run(
 ) -> list[dict]:
     """Encode one (term, rb) doc_id-sorted posting run into block rows.
 
-    Shared by the build kernel and the merge re-blocker so chunk boundaries
-    are canonical by construction.  ``pos_buf``/``pos_offsets`` address the
-    run's per-posting position sub-streams (already encoded — codec.py); a
-    block's pos_vb is the contiguous byte slice covering its postings, so
-    no position ever re-encodes here.
+    Shared by the build kernel and the merge/prune re-blockers so chunk
+    boundaries are canonical by construction.  ``pos_buf``/``pos_offsets``
+    address the run's per-posting position sub-streams (already encoded —
+    codec.py); a block's pos_vb is the contiguous byte slice covering its
+    postings, so no position ever re-encodes here.
     """
-    from horus_ner_spark.index.codec import encode_block, vb_encode
-
-    tfnorms = tfs * (bm25.K1 + 1.0) / (
-        tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
-    )
+    n = len(doc_ids)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    bstarts = np.arange(0, n, block_size, dtype=np.int64)
+    bends = np.minimum(bstarts + block_size, n)
+    cols = _encode_stream(doc_ids, tfs, doclens, bstarts, bends, avgdl)
     view = memoryview(pos_buf)
     rows = []
-    for start in range(0, len(doc_ids), block_size):
-        end = min(start + block_size, len(doc_ids))
-        d = doc_ids[start:end]
-        tn = tfnorms[start:end]
-        # impact sub-ranges: SUB_BLOCKS doc-id-ordered slices with their own
-        # (min, max, max_tfnorm) — the WAND kernel's shallow bounds at 1/4
-        # block granularity, raising skip rates on long lists with mixed
-        # impacts (a single per-block max is dominated by one hot posting)
-        n = end - start
-        k_sub = min(SUB_BLOCKS, n)
-        bnd = np.arange(k_sub + 1, dtype=np.int64) * n // k_sub
-        dvb, tvb = encode_block(d, tfs[start:end])
+    for i in range(len(bstarts)):
+        s, e = int(bstarts[i]), int(bends[i])
         rows.append(
             {
                 "term": term,
                 "rb": int(rb),
-                "block_id": start // block_size,
-                "min_doc_id": int(d[0]),
-                "max_doc_id": int(d[-1]),
-                "n_postings": len(d),
-                "block_max_tfnorm": float(tn.max()),
-                "doc_ids_vb": dvb,
-                "tfs_vb": tvb,
-                "doclens_vb": vb_encode(doclens[start:end].astype(np.uint64)),
-                "pos_vb": bytes(view[pos_offsets[start] : pos_offsets[end]]),
-                "sub_min_doc_ids": [int(d[bnd[j]]) for j in range(k_sub)],
-                "sub_max_doc_ids": [int(d[bnd[j + 1] - 1]) for j in range(k_sub)],
+                "block_id": i,
+                "min_doc_id": int(cols["min_doc_id"][i]),
+                "max_doc_id": int(cols["max_doc_id"][i]),
+                "n_postings": int(cols["n_postings"][i]),
+                "block_max_tfnorm": float(cols["block_max_tfnorm"][i]),
+                "doc_ids_vb": cols["doc_ids_vb"][i],
+                "tfs_vb": cols["tfs_vb"][i],
+                "doclens_vb": cols["doclens_vb"][i],
+                "pos_vb": bytes(view[pos_offsets[s] : pos_offsets[e]]),
+                "sub_min_doc_ids": [int(x) for x in cols["sub_min_doc_ids"][i]],
+                "sub_max_doc_ids": [int(x) for x in cols["sub_max_doc_ids"][i]],
                 "sub_max_tfnorms": [
-                    float(tn[bnd[j] : bnd[j + 1]].max()) for j in range(k_sub)
+                    float(x) for x in cols["sub_max_tfnorms"][i]
                 ],
             }
         )
@@ -285,22 +357,45 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
     within the first ``n_rows`` rows."""
     import pyarrow as pa
 
-    doc_ids = tbl.column("doc_id").to_numpy()[:n_rows]
-    tfs = tbl.column("tf").to_numpy()[:n_rows]
+    doc_ids = np.ascontiguousarray(tbl.column("doc_id").to_numpy()[:n_rows])
+    tfs = np.ascontiguousarray(tbl.column("tf").to_numpy()[:n_rows])
     doclens = tbl.column("doclen").to_numpy()[:n_rows]
     rbs = tbl.column("rb").to_numpy()[:n_rows]
     pos_buf, pos_off = _binary_buffers(tbl.column("pos_vb").combine_chunks())
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [n_rows]))
-    rows: list[dict] = []
-    for s, e in zip(starts, ends):
-        term = terms[int(s)].as_py()  # ONE python string per group
-        rows.extend(
-            encode_run(term, int(rbs[s]), doc_ids[s:e], tfs[s:e], doclens[s:e],
-                       pos_buf, pos_off[s : e + 1], avgdl, block_size)
-        )
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [n_rows])).astype(np.int64)
+    # block boundaries across ALL groups at once (a group boundary is
+    # always a block boundary), then one vectorized encode pass — the
+    # round-3 per-group encode_run loop spent most of the stage in tiny
+    # per-block codec calls
+    li = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, ends - starts)
+    bstarts = np.flatnonzero(li % block_size == 0)
+    bends = np.append(bstarts[1:], n_rows)
+    cols = _encode_stream(doc_ids, tfs, doclens, bstarts, bends, avgdl)
+    grp = np.searchsorted(starts, bstarts, side="right") - 1
+    term_per_group = [terms[int(s)].as_py() for s in starts]  # ONE per group
+    view = memoryview(pos_buf)
+    data = {
+        "term": [term_per_group[g] for g in grp],
+        "rb": rbs[bstarts].astype(np.int32),
+        "block_id": (li[bstarts] // block_size).astype(np.int32),
+        "min_doc_id": cols["min_doc_id"],
+        "max_doc_id": cols["max_doc_id"],
+        "n_postings": cols["n_postings"].astype(np.int32),
+        "block_max_tfnorm": cols["block_max_tfnorm"],
+        "doc_ids_vb": cols["doc_ids_vb"],
+        "tfs_vb": cols["tfs_vb"],
+        "doclens_vb": cols["doclens_vb"],
+        "pos_vb": [
+            bytes(view[pos_off[s] : pos_off[e]])
+            for s, e in zip(bstarts, bends)
+        ],
+        "sub_min_doc_ids": cols["sub_min_doc_ids"],
+        "sub_max_doc_ids": cols["sub_max_doc_ids"],
+        "sub_max_tfnorms": cols["sub_max_tfnorms"],
+    }
     return pa.RecordBatch.from_pydict(
-        {c: [r[c] for r in rows] for c in _BLOCK_COLS},
+        {c: data[c] for c in _BLOCK_COLS},
         schema=pa.schema(
             [
                 ("term", pa.string()),
@@ -540,13 +635,32 @@ def build_index(
     n_pbuckets: int = N_PBUCKETS,
     split_threshold: int = SPLIT_THRESHOLD,
     fail_after_stage: str | None = None,
+    small_max_bytes: int = 0,
 ) -> IndexPaths:
     """Build (or resume) the full index at ``index_dir``.
 
     ``fail_after_stage`` injects a crash between stages for the resume test
     (SURVEY.md §5 item 4).
+
+    ``small_max_bytes`` > 0 opts into the small-segment fast path
+    (index/smallseg.py): corpora whose data files total at most that many
+    bytes build in one task's worth of local work — byte-identical blocks,
+    same manifest — instead of the 5-stage distributed pipeline.  Streaming
+    ingest passes this (a micro-batch is single-task-sized by definition);
+    the default 0 keeps every explicit build on the distributed path.
     """
     from horus_ner_spark.session import ensure_package_on_executors
+
+    if small_max_bytes > 0:
+        from horus_ner_spark.index.smallseg import build_index_small, table_bytes
+
+        if table_bytes(corpus_path) <= small_max_bytes:
+            return build_index_small(
+                spark, corpus_path, index_dir, block_size=block_size,
+                range_bits=range_bits, n_pbuckets=n_pbuckets,
+                split_threshold=split_threshold,
+                fail_after_stage=fail_after_stage,
+            )
 
     catalog.require_path_refs("build_index")  # manifest + metrics need path refs
     ensure_package_on_executors(spark)  # pandas-UDF closures unpickle on workers

@@ -221,6 +221,7 @@ def merge_indexes(
     n_pbuckets: int = N_PBUCKETS,
     split_threshold: int = SPLIT_THRESHOLD,
     merge_tf: bool = False,
+    small_max_bytes: int = 0,
 ) -> IndexPaths:
     """Merge N built index segments into a canonical combined index.
 
@@ -228,8 +229,27 @@ def merge_indexes(
     only by the brute-force oracle path, query.bm25_bruteforce); the
     compaction loop leaves it False so no merge ever shuffles raw postings
     beyond the one (term, rb) block re-grouping.
+
+    ``small_max_bytes`` > 0 routes merges whose inputs' postings total at
+    most that many bytes through the local small-segment merge
+    (smallseg.merge_indexes_small — canonical-form identical); streaming
+    compaction passes it so L1/L2 micro-batch compactions skip the Spark
+    job storm, while upper-level compactions stay distributed.
     """
     from horus_ner_spark.session import ensure_package_on_executors
+
+    if small_max_bytes > 0 and not merge_tf:
+        from horus_ner_spark.index.smallseg import (
+            merge_indexes_small,
+            table_bytes,
+        )
+
+        if sum(table_bytes(s.postings) for s in segments) <= small_max_bytes:
+            return merge_indexes_small(
+                spark, segments, out_dir, block_size=block_size,
+                range_bits=range_bits, n_pbuckets=n_pbuckets,
+                split_threshold=split_threshold,
+            )
 
     catalog.require_path_refs("merge_indexes")  # segment refs are paths
     ensure_package_on_executors(spark)  # reblock kernel unpickles on workers

@@ -66,6 +66,14 @@ _BLOCK_COLS = [
 
 _MODES = ("OR", "AND", "PHRASE", "NEAR")
 
+# Fan a conjunctive query over range buckets only when its terms span at
+# least this many postings: below it the per-bucket task overhead (block
+# slicing, pool dispatch, GIL hand-offs) exceeds the kernel work itself
+# (measured 16x SLOWER at a 29k-posting query fanned 64 ways), while the
+# queries the fan-out exists for (sf0.8 3-hot-term NEAR: 29.2 s single
+# task) sit far above it.
+FANOUT_MIN_POSTINGS = 1_000_000
+
 
 def _valid_mode(mode: str) -> str:
     """Uppercase + validate: an unknown mode must fail loudly, never fall
@@ -87,7 +95,8 @@ class IndexServer:
     def __init__(self, index_dir: str | list[str], n_pbuckets: int = N_PBUCKETS,
                  cache_terms: int = 4096, range_bits: int = RANGE_BITS,
                  split_threshold: int = SPLIT_THRESHOLD,
-                 fanout_workers: int | None = None) -> None:
+                 fanout_workers: int | None = None,
+                 fanout_min_postings: int = FANOUT_MIN_POSTINGS) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -178,6 +187,7 @@ class IndexServer:
             if fanout_workers is None
             else fanout_workers
         )
+        self._fanout_min_postings = fanout_min_postings
         self._pool: ThreadPoolExecutor | None = None
         self._pool_lock = threading.Lock()
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
@@ -330,6 +340,8 @@ class IndexServer:
             and any(
                 term_df.get(t, 0) > self.split_threshold for t in term_blocks
             )
+            and sum(term_df.get(t, 0) for t in term_blocks)
+            >= self._fanout_min_postings
         ):
             shift = 64 - self.range_bits
             # candidate buckets: a conjunctive match needs EVERY term, so

@@ -1,0 +1,573 @@
+"""Small-segment fast path: build/merge micro-batch index segments in ONE
+task's worth of local work instead of a 15-job Spark pipeline.
+
+Why this exists (round-3 verdict #6): streaming ingest measured ~160-280
+docs/s at 5k-doc micro-batches, with profiling attributing ~90% of each
+batch to per-stage Spark fixed overhead (scheduler round-trips, shuffle
+setup, write commits) — the actual tokenize+encode work is under a second.
+A micro-batch segment is single-task-sized BY DEFINITION (that is what a
+micro-batch is), so the scale-correct design is the LSM one: memtable-size
+segments are built locally and sealed, while the distributed pipeline
+(build.build_index) remains the path for every corpus above the size gate —
+exactly how Lucene/LSM engines flush small segments single-threaded and
+compact big ones with heavy machinery.
+
+Equivalence contract: byte-identical posting blocks, identical doc_ids
+(functions/xxhash.py replicates Spark's xxhash64 bit-for-bit — property
+tested), identical stats and manifest stages, so the two paths interoperate
+freely (a small-built segment merges with Spark-built ones; resume works
+across paths).  Asserted in tests/test_smallseg.py against the distributed
+builder's output.
+
+Everything here reuses the SAME kernels as the distributed path —
+build._tokenize_tf_batches for tokenize/tf/positions, build._encode_table
+for posting blocks, merge-canonical encode_run for re-blocking — so there
+is one definition of every byte that lands on disk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from horus_ner_spark import catalog
+from horus_ner_spark.functions.bucketing import term_bucket
+from horus_ner_spark.functions.xxhash import doc_ids_from_cols
+from horus_ner_spark.index.build import (
+    _BLOCK_COLS,
+    _encode_table,
+    _file_metrics,
+    _per_file_rows,
+    _tokenize_tf_batches,
+    BLOCK_SIZE,
+    N_PBUCKETS,
+    RANGE_BITS,
+    SPLIT_THRESHOLD,
+    IndexPaths,
+)
+from horus_ner_spark.index.manifest import Manifest, corpus_fingerprint
+
+# Input size (compressed bytes, summed over data files) at or below which
+# ingest routes a segment build through this module.  Chosen so a typical
+# streaming micro-batch (thousands of docs) qualifies while anything
+# resembling a real corpus takes the distributed pipeline.
+SMALL_BUILD_MAX_BYTES = 64 * 1024 * 1024
+
+# Micro-batch doc count at or below which the streaming ingest hook
+# collects the batch once and dedups/writes it driver-locally.
+SMALL_BATCH_MAX_DOCS = 100_000
+
+
+def table_bytes(ref: str) -> int:
+    """Total data-file bytes of a table (the size gate's input)."""
+    return sum(sz for _rp, sz in catalog.list_data_files(ref, suffix=".parquet"))
+
+
+def _write_table(ref: str, table: pa.Table) -> None:
+    """Overwrite ``ref`` with one zstd parquet file + _SUCCESS marker
+    (spark-compatible layout, through the catalog fs routing)."""
+    fs, base = catalog.filesystem(ref)
+    if catalog.fs_exists(ref):
+        fs.delete_dir(base)
+    fs.create_dir(base, recursive=True)
+    pq.write_table(
+        table, os.path.join(base, "part-00000.parquet"),
+        filesystem=fs, compression="zstd",
+    )
+    fs.open_output_stream(os.path.join(base, "_SUCCESS")).close()
+
+
+def _write_bucketed(ref: str, pdf: pd.DataFrame, n_pbuckets: int) -> None:
+    """Overwrite ``ref`` as a hive ``pbucket=K`` layout (one file per
+    bucket; partition column not stored in files — spark-compatible)."""
+    fs, base = catalog.filesystem(ref)
+    if catalog.fs_exists(ref):
+        fs.delete_dir(base)
+    fs.create_dir(base, recursive=True)
+    for pb, sub in pdf.groupby("pbucket", sort=True):
+        d = os.path.join(base, f"pbucket={int(pb)}")
+        fs.create_dir(d, recursive=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                sub.drop(columns=["pbucket"]), preserve_index=False
+            ),
+            os.path.join(d, "part-00000.parquet"),
+            filesystem=fs, compression="zstd",
+        )
+    fs.open_output_stream(os.path.join(base, "_SUCCESS")).close()
+
+
+def _read_corpus(corpus_path: str) -> pa.Table:
+    fs, base = catalog.filesystem(corpus_path)
+    return pq.read_table(base, filesystem=fs)
+
+
+def build_index_small(
+    spark,
+    corpus_path: str,
+    index_dir: str,
+    block_size: int = BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    n_pbuckets: int = N_PBUCKETS,
+    split_threshold: int = SPLIT_THRESHOLD,
+    fail_after_stage: str | None = None,
+) -> IndexPaths:
+    """Build the full index at ``index_dir`` locally — same tables, same
+    manifest stages, same fingerprints (config dict identical to
+    build.build_index), byte-identical posting blocks."""
+    from horus_ner_spark.index import bm25
+
+    catalog.require_path_refs("build_index_small")
+    paths = IndexPaths(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    conf = {
+        "block_size": block_size,
+        "range_bits": range_bits,
+        "n_pbuckets": n_pbuckets,
+        "split_threshold": split_threshold,
+        "tokenizer": "code-aware-v1",
+        "layout": "v5-subblock-max",
+        "bm25": {"k1": bm25.K1, "b": bm25.B},
+    }
+    fp = corpus_fingerprint(corpus_path, conf)
+    man = Manifest(index_dir)
+
+    def _maybe_fail(stage: str) -> None:
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    corpus = None
+
+    def _corpus() -> pa.Table:
+        nonlocal corpus
+        if corpus is None:
+            t = _read_corpus(corpus_path)
+            if "doc_id" not in t.column_names:
+                ids = doc_ids_from_cols(
+                    t["repo"].to_pylist(),
+                    t["path"].to_pylist(),
+                    t["commit"].to_pylist(),
+                )
+                t = t.append_column("doc_id", pa.array(ids, pa.int64()))
+            corpus = t
+        return corpus
+
+    # ── Stage A: docs ────────────────────────────────────────────────────
+    if not man.stage_complete("docs", fp, paths.docs):
+        t0 = time.monotonic()
+        t = _corpus()
+        sha = pa.array(
+            [hashlib.sha256(c.encode("utf-8")).hexdigest()
+             for c in t["content"].to_pylist()],
+            pa.string(),
+        )
+        docs = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "lang": t["lang"],
+                "content_sha256": sha,
+            }
+        ).sort_by("doc_id")
+        _write_table(paths.docs, docs)
+        per_file = _per_file_rows(
+            _file_metrics(spark, paths.docs), "docs_tokenized"
+        )
+        man.commit_stage(
+            "docs", fp, per_file,
+            {"n_docs": sum(r["docs_tokenized"] for r in per_file),
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
+    _maybe_fail("docs")
+    if (man.read_stage("docs") or {}).get("totals", {}).get("n_docs") == 0:
+        raise ValueError(
+            f"cannot build an index over an empty corpus: {corpus_path}"
+        )
+
+    # ── Stage B: tf (the SAME tokenize kernel, fed locally) ─────────────
+    if not man.stage_complete("tf", fp, paths.tf):
+        t0 = time.monotonic()
+        t = _corpus().select(["doc_id", "lang", "content"])
+        out = list(_tokenize_tf_batches(t.to_batches(max_chunksize=10_000)))
+        tf_tbl = pa.Table.from_batches(out)
+        _write_table(paths.tf, tf_tbl)
+        per_part = _per_file_rows(
+            _file_metrics(spark, paths.tf), "postings_emitted"
+        )
+        man.commit_stage(
+            "tf", fp, per_part,
+            {"postings_raw": sum(r["postings_emitted"] for r in per_part),
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
+    _maybe_fail("tf")
+
+    def _tf() -> pa.Table:
+        fs, base = catalog.filesystem(paths.tf)
+        return pq.read_table(base, filesystem=fs)
+
+    # ── Stage C: doclens + corpus stats ──────────────────────────────────
+    if not (
+        man.stage_complete("stats", fp, paths.doclens)
+        and catalog.fs_exists(os.path.join(paths.corpus_stats, "_SUCCESS"))
+    ):
+        t0 = time.monotonic()
+        tf_tbl = _tf()
+        d = tf_tbl["doc_id"].to_numpy()
+        dl = tf_tbl["doclen"].to_numpy()
+        order = np.argsort(d, kind="stable")
+        ds, dls = d[order], dl[order]
+        starts = (
+            np.concatenate(([0], np.flatnonzero(ds[1:] != ds[:-1]) + 1))
+            if len(ds)
+            else np.empty(0, dtype=np.int64)
+        )
+        doclens = pa.table(
+            {
+                "doc_id": pa.array(ds[starts], pa.int64()),
+                "doclen": pa.array(dls[starts], pa.int64()),
+            }
+        )
+        _write_table(paths.doclens, doclens)
+        n_docs = man.read_stage("docs")["totals"]["n_docs"]
+        total_len = int(dls[starts].sum()) if len(starts) else 0
+        avgdl = float(total_len) / n_docs if n_docs else 0.0
+        _write_table(
+            paths.corpus_stats,
+            pa.table(
+                {
+                    "n_docs": pa.array([n_docs], pa.int64()),
+                    "total_len": pa.array([total_len], pa.int64()),
+                    "avgdl": pa.array([avgdl], pa.float64()),
+                }
+            ),
+        )
+        man.commit_stage(
+            "stats", fp, [{"partition_id": 0, "docs_tokenized": n_docs}],
+            {"n_docs": n_docs, "avgdl": avgdl,
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
+    _maybe_fail("stats")
+
+    # ── Stage D: term dictionary ─────────────────────────────────────────
+    if not man.stage_complete("term_stats", fp, paths.term_stats):
+        t0 = time.monotonic()
+        tf_tbl = _tf()
+        terms = tf_tbl["term"].to_pandas()
+        tfs = tf_tbl["tf"].to_numpy()
+        codes, uniq = pd.factorize(terms)
+        df_ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        cf = np.bincount(codes, weights=tfs, minlength=len(uniq)).astype(
+            np.int64
+        )
+        ts = pd.DataFrame(
+            {
+                "term": uniq,
+                "df": df_,
+                "cf": cf,
+                "pbucket": [term_bucket(t, n_pbuckets) for t in uniq],
+            }
+        ).sort_values(["pbucket", "term"], kind="mergesort")
+        _write_bucketed(paths.term_stats, ts, n_pbuckets)
+        tmetrics = _file_metrics(spark, paths.term_stats)
+        man.commit_stage(
+            "term_stats", fp, [{"partition_id": 0}],
+            {"n_terms": sum(m["num_rows"] for m in tmetrics),
+             "wall_s": round(time.monotonic() - t0, 3)},
+        )
+    _maybe_fail("term_stats")
+
+    # ── Stage E: compressed posting blocks (the SAME encode kernel) ──────
+    if not man.stage_complete("postings", fp, paths.postings):
+        t0 = time.monotonic()
+        from horus_ner_spark.index.build import read_corpus_stats
+
+        avgdl = float(read_corpus_stats(paths)["avgdl"])
+        tf_tbl = _tf()
+        terms = tf_tbl["term"].to_pandas()
+        codes, uniq = pd.factorize(terms)
+        df_ = np.bincount(codes, minlength=len(uniq))
+        hot = df_ > split_threshold
+        doc_ids = tf_tbl["doc_id"].to_numpy()
+        shift = 64 - range_bits
+        rb = np.where(hot[codes], doc_ids >> shift, 0).astype(np.int32)
+        order = np.lexsort((doc_ids, rb, codes))
+        sorted_tbl = tf_tbl.append_column(
+            "rb", pa.array(rb, pa.int32())
+        ).take(pa.array(order))
+        st = sorted_tbl.combine_chunks()
+        n = st.num_rows
+        scode, srb = codes[order], rb[order]
+        change = (
+            np.flatnonzero(
+                (scode[1:] != scode[:-1]) | (srb[1:] != srb[:-1])
+            ) + 1
+        )
+        batch = _encode_table(
+            st, st["term"].combine_chunks(), change, n, avgdl, block_size
+        )
+        blocks = pa.Table.from_batches([batch]).to_pandas()
+        bucket_of = {t: term_bucket(t, n_pbuckets) for t in uniq}
+        blocks["pbucket"] = blocks["term"].map(bucket_of)
+        blocks = blocks.sort_values(
+            ["pbucket", "term", "min_doc_id"], kind="mergesort"
+        )[["pbucket"] + _BLOCK_COLS]
+        _write_bucketed(paths.postings, blocks, n_pbuckets)
+        from horus_ner_spark.index.build import _bucket_rows
+
+        per_bucket = _bucket_rows(
+            _file_metrics(spark, paths.postings, sum_col="n_postings")
+        )
+        man.commit_stage(
+            "postings", fp, per_bucket,
+            {
+                "postings_emitted": sum(
+                    r["postings_emitted"] for r in per_bucket
+                ),
+                "bytes_compressed": sum(
+                    r["bytes_compressed"] for r in per_bucket
+                ),
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+    _maybe_fail("postings")
+    return paths
+
+
+# ── small-segment merge ──────────────────────────────────────────────────────
+
+# Sum of input postings bytes at or below which compaction merges locally.
+# L1/L2 compactions of micro-batch segments sit far under this; anything
+# bigger takes the distributed (term, rb)-keyed merge.
+SMALL_MERGE_MAX_BYTES = 128 * 1024 * 1024
+
+
+def _decode_columns(t: "pa.Table", nposts: np.ndarray):
+    """Batched decode of a postings table's payload columns.
+
+    One varbyte decode / one boundary scan per COLUMN (the arrow binary
+    data buffers are dense: per-block streams sit adjacent), instead of
+    per-block calls.  Returns (doc_ids, tfs, doclens, pos_start, pos_len,
+    pos_src): positions stay ENCODED — per-posting byte ranges into
+    ``pos_src`` — because merge moves position sub-streams verbatim.
+    """
+    from horus_ner_spark.index.build import _binary_buffers
+    from horus_ner_spark.index.codec import _SIGN_FLIP, vb_decode
+
+    n_total = int(nposts.sum())
+    starts = np.zeros(len(nposts), dtype=np.int64)
+    np.cumsum(nposts[:-1], out=starts[1:])
+
+    def _col(name: str):
+        buf, off = _binary_buffers(t[name].combine_chunks())
+        data = np.frombuffer(buf, dtype=np.uint8)[off[0] : off[-1]]
+        return data, off - off[0]
+
+    d_data, _ = _col("doc_ids_vb")
+    gaps = vb_decode(d_data.tobytes())
+    assert len(gaps) == n_total
+    first = np.zeros(n_total, dtype=bool)
+    first[starts] = True
+    gaps[~first] += np.uint64(1)
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    carry = np.repeat(csum[starts] - gaps[starts], nposts)
+    docs = ((csum - carry) ^ _SIGN_FLIP).view(np.int64)
+
+    t_data, _ = _col("tfs_vb")
+    tfs = vb_decode(t_data.tobytes()).view(np.int64)
+    l_data, _ = _col("doclens_vb")
+    dls = vb_decode(l_data.tobytes()).view(np.int64)
+
+    p_data, p_off = _col("pos_vb")
+    vends = np.flatnonzero(p_data < 0x80) + 1  # value end bytes, global
+    tf_cum = np.cumsum(tfs)
+    p_end = vends[tf_cum - 1] if len(vends) else np.zeros(n_total, np.int64)
+    p_start = np.concatenate(([0], p_end[:-1]))
+    return docs, tfs, dls, p_start, p_end - p_start, p_data
+
+
+def merge_indexes_small(
+    spark,
+    segments: list[IndexPaths],
+    out_dir: str,
+    block_size: int = BLOCK_SIZE,
+    range_bits: int = RANGE_BITS,
+    n_pbuckets: int = N_PBUCKETS,
+    split_threshold: int = SPLIT_THRESHOLD,
+) -> IndexPaths:
+    """Local merge of small segments — canonical-form identical to
+    merge_indexes (same first-wins dedupe, same hot/cold rule on the exact
+    deduped df, same encode kernel), asserted in tests/test_smallseg.py.
+
+    The compaction ladder makes this the common case: L1 merges absorb
+    micro-batch segments (tiny by construction); only upper-level
+    compactions exceed the byte gate and take the distributed merge.
+    """
+    from horus_ner_spark.index import bm25
+    from horus_ner_spark.index.build import _encode_stream, read_corpus_stats
+
+    catalog.require_path_refs("merge_indexes_small")
+    out = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _read(ref: str) -> pa.Table:
+        fs, base = catalog.filesystem(ref)
+        return pq.read_table(base, filesystem=fs)
+
+    # docs / doclens: first-wins union (oldest segment wins)
+    def _first_wins(refs: list[str], key: str) -> pa.Table:
+        tbls = []
+        for i, ref in enumerate(refs):
+            t = _read(ref)
+            tbls.append(
+                t.append_column("_seg", pa.array([i] * t.num_rows, pa.int32()))
+            )
+        allt = pa.concat_tables(tbls, promote_options="none")
+        k = allt[key].to_numpy()
+        s = allt["_seg"].to_numpy()
+        order = np.lexsort((s, k))
+        ks = k[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        return allt.take(pa.array(order[first])).drop_columns(["_seg"])
+
+    docs = _first_wins([s.docs for s in segments], "doc_id")
+    _write_table(out.docs, docs)
+    doclens = _first_wins([s.doclens for s in segments], "doc_id")
+    _write_table(out.doclens, doclens)
+    n_docs = docs.num_rows
+    total_len = int(doclens["doclen"].to_numpy().sum()) if doclens.num_rows else 0
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    _write_table(
+        out.corpus_stats,
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_len": pa.array([total_len], pa.int64()),
+                "avgdl": pa.array([avgdl], pa.float64()),
+            }
+        ),
+    )
+
+    # postings: decode every input block — WHOLE COLUMNS at a time (the
+    # arrow binary data buffers are dense, so one vb_decode/one boundary
+    # scan covers every block; the first merge version decoded per block
+    # and spent 12 of its 15 s in 230k tiny numpy calls) — then first-wins
+    # dedupe, re-key hot/cold on the exact deduped df, re-encode.
+    term_l, doc_l, tf_l, dl_l, seg_l = [], [], [], [], []
+    pos_start_l, pos_len_l = [], []
+    pos_srcs: list[np.ndarray] = []
+    pos_base = 0
+    for si, seg in enumerate(segments):
+        t = _read(seg.postings).combine_chunks()
+        tm_list = t["term"].to_pylist()
+        nposts = t["n_postings"].to_numpy().astype(np.int64)
+        docs_s, tfs_s, dls_s, p_start, p_len, p_src = _decode_columns(
+            t, nposts
+        )
+        term_l.append(np.repeat(np.array(tm_list, dtype=object), nposts))
+        doc_l.append(docs_s)
+        tf_l.append(tfs_s)
+        dl_l.append(dls_s)
+        seg_l.append(np.full(len(docs_s), si, dtype=np.int32))
+        pos_srcs.append(p_src)
+        pos_start_l.append(p_start + pos_base)
+        pos_len_l.append(p_len)
+        pos_base += len(p_src)
+    if not doc_l:
+        raise ValueError("merge_indexes_small: no postings in any segment")
+    terms_all = np.concatenate(term_l)
+    docs_all = np.concatenate(doc_l)
+    tfs_all = np.concatenate(tf_l)
+    dls_all = np.concatenate(dl_l)
+    segs_all = np.concatenate(seg_l)
+    pos_start = np.concatenate(pos_start_l)
+    pos_len = np.concatenate(pos_len_l)
+    src = np.concatenate(pos_srcs) if pos_srcs else np.empty(0, np.uint8)
+
+    codes, uniq = pd.factorize(terms_all)
+    order = np.lexsort((segs_all, docs_all, codes))
+    codes, docs_all = codes[order], docs_all[order]
+    tfs_all, dls_all = tfs_all[order], dls_all[order]
+    pos_start, pos_len = pos_start[order], pos_len[order]
+    keep = np.ones(len(codes), dtype=bool)  # first-wins (doc, term) dedupe
+    keep[1:] = (codes[1:] != codes[:-1]) | (docs_all[1:] != docs_all[:-1])
+    codes, docs_all = codes[keep], docs_all[keep]
+    tfs_all, dls_all = tfs_all[keep], dls_all[keep]
+    pos_start, pos_len = pos_start[keep], pos_len[keep]
+
+    df_ = np.bincount(codes, minlength=len(uniq))
+    hot = df_ > split_threshold
+    shift = 64 - range_bits
+    rb = np.where(hot[codes], docs_all >> shift, 0).astype(np.int32)
+    # rows are sorted (code, doc); rb is monotone in doc within a code, so
+    # the (code, rb) grouping needs no re-sort
+    n = len(codes)
+    starts = np.concatenate(
+        ([0], np.flatnonzero((codes[1:] != codes[:-1]) | (rb[1:] != rb[:-1])) + 1)
+    )
+    ends = np.concatenate((starts[1:], [n]))
+    li = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+    bstarts = np.flatnonzero(li % block_size == 0)
+    bends = np.append(bstarts[1:], n)
+    # gather the kept postings' position sub-streams into one contiguous
+    # buffer in final order (vectorized byte gather, no per-posting join)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pos_len, out=out_off[1:])
+    total_b = int(out_off[-1])
+    gather = (
+        np.repeat(pos_start, pos_len)
+        + np.arange(total_b, dtype=np.int64)
+        - np.repeat(out_off[:-1], pos_len)
+    )
+    pos_buf = src[gather].tobytes() if total_b else b""
+    cols = _encode_stream(docs_all, tfs_all, dls_all, bstarts, bends, avgdl)
+    grp = np.searchsorted(starts, bstarts, side="right") - 1
+    term_of_block = uniq[codes[starts[grp]]]
+    blocks = pd.DataFrame(
+        {
+            "term": term_of_block,
+            "rb": rb[bstarts],
+            "block_id": (li[bstarts] // block_size).astype(np.int32),
+            "min_doc_id": cols["min_doc_id"],
+            "max_doc_id": cols["max_doc_id"],
+            "n_postings": cols["n_postings"].astype(np.int32),
+            "block_max_tfnorm": cols["block_max_tfnorm"],
+            "doc_ids_vb": cols["doc_ids_vb"],
+            "tfs_vb": cols["tfs_vb"],
+            "doclens_vb": cols["doclens_vb"],
+            "pos_vb": [
+                bytes(pos_buf[out_off[s] : out_off[e]])
+                for s, e in zip(bstarts, bends)
+            ],
+            "sub_min_doc_ids": cols["sub_min_doc_ids"],
+            "sub_max_doc_ids": cols["sub_max_doc_ids"],
+            "sub_max_tfnorms": cols["sub_max_tfnorms"],
+        }
+    )
+    bucket_of = {t: term_bucket(t, n_pbuckets) for t in uniq}
+    blocks["pbucket"] = blocks["term"].map(bucket_of)
+    blocks = blocks.sort_values(
+        ["pbucket", "term", "min_doc_id"], kind="mergesort"
+    )[["pbucket"] + _BLOCK_COLS]
+    _write_bucketed(out.postings, blocks, n_pbuckets)
+
+    # term stats from the merged postings (exact deduped df; cf = sum tf)
+    cf = np.bincount(codes, weights=tfs_all, minlength=len(uniq)).astype(np.int64)
+    ts = pd.DataFrame(
+        {
+            "term": uniq,
+            "df": df_.astype(np.int64),
+            "cf": cf,
+            "pbucket": [bucket_of[t] for t in uniq],
+        }
+    ).sort_values(["pbucket", "term"], kind="mergesort")
+    _write_bucketed(out.term_stats, ts, n_pbuckets)
+    return out

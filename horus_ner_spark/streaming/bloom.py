@@ -135,13 +135,30 @@ def bloom_path(unit_ix_dir: str) -> str:
 def build_unit_bloom(spark, unit_ix_dir: str, fpr: float = 0.01) -> DocIdBloom:
     """Build + persist the sidecar for one built unit (idempotent: always
     rebuilt from the unit's docs table, so a replayed build overwrites a
-    torn file).  Partial filters are built executor-side over the pruned
-    doc_id column and OR-merged driver-side — the driver never sees doc
-    ids, only fixed-size bit arrays."""
+    torn file).  Small units (streaming micro-batch segments) read their
+    doc_id column driver-side with pyarrow — no Spark job; larger units
+    build partial filters executor-side over the pruned doc_id column and
+    OR-merge them driver-side — the driver never sees doc ids, only
+    fixed-size bit arrays."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(os.path.join(unit_ix_dir, "docs.parquet"))
+    from horus_ner_spark import catalog
+    from horus_ner_spark.index.smallseg import SMALL_BUILD_MAX_BYTES, table_bytes
+
+    docs_ref = os.path.join(unit_ix_dir, "docs.parquet")
+    if table_bytes(docs_ref) <= SMALL_BUILD_MAX_BYTES:
+        import pyarrow.parquet as pq
+
+        fs, base = catalog.filesystem(docs_ref)
+        ids = pq.read_table(
+            base, filesystem=fs, columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        bl = DocIdBloom.sized_for(len(ids), fpr)
+        bl.add(np.asarray(ids, dtype=np.int64))
+        bl.save(bloom_path(unit_ix_dir))
+        return bl
+
+    docs = spark.read.parquet(docs_ref)
     n = docs.count()
     proto = DocIdBloom.sized_for(n, fpr)
     shape = (proto.n_bits, proto.k)

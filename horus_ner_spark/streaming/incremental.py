@@ -171,7 +171,12 @@ def compact_tiers(
         out_dir = os.path.join(index_root, _TIER_DIR, name)
         meta = os.path.join(out_dir, "inputs.json")
         if not catalog.fs_exists(meta):  # replayed compaction -> skip merge
-            merge_indexes(spark, [IndexPaths(p) for p in inputs], out_dir)
+            from horus_ner_spark.index.smallseg import SMALL_MERGE_MAX_BYTES
+
+            merge_indexes(
+                spark, [IndexPaths(p) for p in inputs], out_dir,
+                small_max_bytes=SMALL_MERGE_MAX_BYTES,
+            )
             # bloom sidecar BEFORE inputs.json: a tier with an inputs.json
             # always has its filter (built fresh from the merged docs, so
             # absorbed duplicates don't inflate the fpr)
@@ -349,23 +354,101 @@ def incremental_index_stream(
         keyed.unpersist()
         return out
 
+    def _corpus_empty(ref: str) -> bool:
+        """Row count from parquet footers (driver-side, no Spark job)."""
+        import pyarrow.parquet as pq
+
+        fs, base = catalog.filesystem(ref)
+        for rp, _sz in catalog.list_data_files(ref, suffix=".parquet"):
+            with fs.open_input_file(os.path.join(base, rp)) as f:
+                if pq.ParquetFile(f).metadata.num_rows:
+                    return False
+        return True
+
+    def _dedup_local(tbl, units: list[tuple[int, str]]):
+        """Driver-local exact dedup of a SMALL collected micro-batch:
+        bloom-probe the batch's doc_ids, then exact-check only implicated
+        units with a doc_id-range-filtered pyarrow read (docs tables are
+        doc_id-sorted, so row groups prune).  Returns the kept arrow
+        table, or None when a unit lacks a readable sidecar (caller falls
+        back to the exact Spark anti-join)."""
+        import numpy as np
+
+        from horus_ner_spark.functions.xxhash import doc_ids_from_cols
+        from horus_ner_spark.index.query import _in_sorted
+        from horus_ner_spark.streaming.bloom import load_unit_blooms
+
+        unit_blooms = load_unit_blooms([p for _lvl, p in units])
+        if unit_blooms is None:
+            return None
+        ids = doc_ids_from_cols(
+            tbl["repo"].to_pylist(),
+            tbl["path"].to_pylist(),
+            tbl["commit"].to_pylist(),
+        )
+        maybe = np.zeros(len(ids), dtype=bool)
+        for bl in unit_blooms:
+            maybe |= bl.may_contain(ids)
+        if not maybe.any():
+            return tbl
+        sus = np.sort(ids[maybe])
+        lo, hi = int(sus[0]), int(sus[-1])
+        dup = np.zeros(len(ids), dtype=bool)
+        import pyarrow.parquet as pq
+
+        for bl, (_lvl, p) in zip(unit_blooms, units):
+            if not bl.may_contain(sus).any():
+                continue  # this unit provably holds none of the suspects
+            fs, base = catalog.filesystem(os.path.join(p, "docs.parquet"))
+            t = pq.read_table(
+                base, filesystem=fs, columns=["doc_id"],
+                filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
+            )
+            unit_ids = np.sort(t["doc_id"].to_numpy())
+            dup |= _in_sorted(unit_ids, ids)
+        return tbl.filter(~dup) if dup.any() else tbl
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from horus_ner_spark.index.smallseg import (
+            SMALL_BUILD_MAX_BYTES,
+            SMALL_BATCH_MAX_DOCS,
+            _write_table,
+        )
+
         seg_root = os.path.join(index_root, f"seg_{batch_id}")
         seg_corpus = os.path.join(seg_root, "corpus.parquet")
         seg_ix = os.path.join(seg_root, "ix")
         if not catalog.fs_exists(os.path.join(seg_corpus, "_SUCCESS")):
-            out = batch_df
-            if dedup_ingest:
-                units = active_units(index_root)
+            # small micro-batches (the common case by construction) collect
+            # ONCE and dedup/write driver-locally — the Spark dedup +
+            # write pipeline below remains the path for oversized batches
+            # and for units without bloom sidecars
+            tbl = batch_df.limit(SMALL_BATCH_MAX_DOCS + 1).toArrow()
+            units = active_units(index_root) if dedup_ingest else []
+            handled = False
+            if tbl.num_rows <= SMALL_BATCH_MAX_DOCS:
+                kept = _dedup_local(tbl, units) if units else tbl
+                if kept is not None:
+                    _write_table(seg_corpus, kept)
+                    handled = True
+            if not handled:
+                out = batch_df
                 if units:
                     out = _dedup(batch_df, units)
-            out.write.mode("overwrite").parquet(seg_corpus)
-        if spark.read.parquet(seg_corpus).isEmpty():
+                out.write.mode("overwrite").parquet(seg_corpus)
+        if _corpus_empty(seg_corpus):
             # a 100%-re-delivered batch dedupes to nothing: no unit is
             # built (active_units requires a postings _SUCCESS, so the
             # segment dir stays inactive; replay re-skips identically)
             return
-        build_index(spark, seg_corpus, seg_ix)
+        # micro-batch segments are single-task-sized: the small-segment
+        # fast path (smallseg.py) builds them locally, byte-identical to
+        # the distributed pipeline, which stays the path for any batch
+        # above the size gate
+        build_index(
+            spark, seg_corpus, seg_ix,
+            small_max_bytes=SMALL_BUILD_MAX_BYTES,
+        )
         # sidecar for the fresh segment (idempotent overwrite on replay)
         build_unit_bloom(spark, seg_ix)
         compact_tiers(spark, index_root, fanout)

@@ -62,16 +62,21 @@ def main() -> None:
         pd.DataFrame(rows).to_parquet(f"{work}/staged_{b}.parquet")
     gen_s = time.perf_counter() - t0
 
-    # ingest: one availableNow stream run per delivered file, compaction
-    # inside the batch hook (maxFilesPerTrigger would batch differently
-    # across runs; explicit delivery keeps batch count deterministic)
-    t0 = time.perf_counter()
+    # ingest: ONE warm availableNow stream over all pre-staged files,
+    # maxFilesPerTrigger=1 -> one micro-batch per file (deterministic:
+    # the file source lists in path order and the names are zero-padded),
+    # compaction inside the batch hook.  Round 3 restarted the stream per
+    # delivered file, paying checkpoint/listing setup per batch.
     for b in range(BATCHES):
-        shutil.move(f"{work}/staged_{b}.parquet", f"{landing}/b{b}.parquet")
-        q = incremental_index_stream(
-            spark, landing, ix_root, f"{work}/cp", fanout=FANOUT
+        shutil.move(
+            f"{work}/staged_{b}.parquet", f"{landing}/b{b:05d}.parquet"
         )
-        q.awaitTermination()
+    t0 = time.perf_counter()
+    q = incremental_index_stream(
+        spark, landing, ix_root, f"{work}/cp", fanout=FANOUT,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
     ingest_s = time.perf_counter() - t0
     removed = gc_absorbed_units(ix_root)
     units = active_units(ix_root)
