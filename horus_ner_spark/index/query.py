@@ -286,6 +286,35 @@ _EPS = 1e-6
 _EXHAUSTIVE_MAX_POSTINGS = 4_000_000
 
 
+def _decode_term_blocks(b: pd.DataFrame):
+    """Vectorized decode of ALL of one term's posting blocks: one codec
+    call per COLUMN over the concatenated streams (blocks are self-
+    contained: each block's first doc_id is absolute, so boundaries from
+    n_postings reconstruct every block's ids).  Returns (docs, tfs,
+    doclens, block_starts) in the frame's block order.
+
+    The per-block decode loop this replaces issued thousands of ~20 us
+    numpy calls per hot query — fine alone, but under a concurrent serving
+    daemon every tiny call is a GIL release/reacquire and the threads
+    convoy (measured 8x WORSE than serialized at 4 threads)."""
+    from horus_ner_spark.index.codec import _SIGN_FLIP
+
+    nposts = b["n_postings"].to_numpy(np.int64)
+    n = int(nposts.sum())
+    starts = np.zeros(len(nposts), dtype=np.int64)
+    np.cumsum(nposts[:-1], out=starts[1:])
+    gaps = vb_decode(b"".join(bytes(x) for x in b["doc_ids_vb"]))
+    first = np.zeros(n, dtype=bool)
+    first[starts] = True
+    gaps[~first] += np.uint64(1)
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    carry = np.repeat(csum[starts] - gaps[starts], nposts)
+    docs = ((csum - carry) ^ _SIGN_FLIP).view(np.int64)
+    tfs = vb_decode(b"".join(bytes(x) for x in b["tfs_vb"])).view(np.int64)
+    dls = vb_decode(b"".join(bytes(x) for x in b["doclens_vb"])).view(np.int64)
+    return docs, tfs, dls, starts
+
+
 def _in_sorted(sorted_arr: np.ndarray, values) -> np.ndarray | bool:
     """Membership of ``values`` (array or scalar) in a SORTED int64 array —
     searchsorted, no per-call sort (the hot-loop trick from the phrase
@@ -329,14 +358,12 @@ def _exhaustive_one_query(
         if not len(b):
             continue
         t_idf = bm25.idf(n_docs, term_df[t])
-        for dvb, tvb, lvb in zip(b["doc_ids_vb"], b["tfs_vb"], b["doclens_vb"]):
-            d, tf = decode_block(bytes(dvb), bytes(tvb))
-            dl = vb_decode(bytes(lvb)).view(np.int64)
-            tfn = tf * (bm25.K1 + 1.0) / (
-                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
-            )
-            docs_l.append(d)
-            scores_l.append(t_idf * tfn)
+        d, tf, dl, _bs = _decode_term_blocks(b)
+        tfn = tf * (bm25.K1 + 1.0) / (
+            tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
+        )
+        docs_l.append(d)
+        scores_l.append(t_idf * tfn)
     if not docs_l:
         return []
     docs = np.concatenate(docs_l)
@@ -428,25 +455,26 @@ def _phrase_one_query(
         return []
     if any(t not in term_blocks or not len(term_blocks[t]) for t in distinct):
         return []
-    # pass 1: decode doc ids only (cheap) and intersect — position streams
-    # stay encoded; a phrase of hot terms must not pay a full position
-    # decode for postings that can never match
+    # pass 1: decode doc ids only (cheap, one codec pass per term —
+    # _decode_term_blocks) and intersect — position streams stay encoded;
+    # a phrase of hot terms must not pay a full position decode for
+    # postings that can never match
     decoded: dict[str, list] = {}
-    doc_arrays: dict[str, list[np.ndarray]] = {}
+    doc_cat: dict[str, np.ndarray] = {}
     for t in distinct:
         b = term_blocks[t]
-        lst = []
-        for dvb, tvb, lvb, pvb in zip(
-            b["doc_ids_vb"], b["tfs_vb"], b["doclens_vb"], b["pos_vb"]
-        ):
-            d, tf = decode_block(bytes(dvb), bytes(tvb))
-            dl = vb_decode(bytes(lvb)).view(np.int64)
-            lst.append((d, tf, dl, bytes(pvb)))
-        decoded[t] = lst
-        doc_arrays[t] = [d for d, _tf, _dl, _p in lst]
+        d_all, tf_all, dl_all, bstarts = _decode_term_blocks(b)
+        bends = np.append(bstarts[1:], len(d_all))
+        decoded[t] = [
+            (
+                d_all[s:e], tf_all[s:e], dl_all[s:e], bytes(pvb)
+            )
+            for s, e, pvb in zip(bstarts, bends, b["pos_vb"])
+        ]
+        doc_cat[t] = d_all
     inter: np.ndarray | None = None
-    for t in sorted(distinct, key=lambda t: sum(len(a) for a in doc_arrays[t])):
-        docs_t = np.sort(np.concatenate(doc_arrays[t]))
+    for t in sorted(distinct, key=lambda t: len(doc_cat[t])):
+        docs_t = np.sort(doc_cat[t])
         inter = (
             docs_t
             if inter is None
@@ -934,39 +962,48 @@ def bm25_distributed(
         .filter(F.col("pbucket").isin(or_buckets))
         .filter(F.col("term").isin(or_terms))
         .join(F.broadcast(qt), "term")
-        .select("query_id", "term", "doc_ids_vb", "tfs_vb", "doclens_vb")
+        .select(
+            "query_id", "term", "n_postings",
+            "doc_ids_vb", "tfs_vb", "doclens_vb",
+        )
     )
     n_tasks = n_tasks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def partial_scores(batches):
-        # per-partition partial aggregation, numpy-vectorized: decode each
-        # block to (doc, contrib) arrays, then one sort + reduceat per query
-        by_q: dict[int, list] = {}
+        # per-partition partial aggregation: ONE vectorized decode across
+        # the whole Arrow batch (_decode_term_blocks), idf/query labels
+        # repeated per posting, one lexsort + reduceat for the map-side
+        # combine — no per-block Python
         for pdf in batches:
-            for qid, t, dvb, tvb, lvb in zip(
-                pdf["query_id"], pdf["term"], pdf["doc_ids_vb"],
-                pdf["tfs_vb"], pdf["doclens_vb"],
-            ):
-                d, tf = decode_block(bytes(dvb), bytes(tvb))
-                dl = vb_decode(bytes(lvb)).view(np.int64)
-                contrib = idfs[t] * tf * (bm25.K1 + 1.0) / (
-                    tf + bm25.K1
-                    * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
-                )
-                by_q.setdefault(int(qid), []).append((d, contrib))
-        for q, pairs in by_q.items():
-            docs = np.concatenate([p[0] for p in pairs])
-            cs = np.concatenate([p[1] for p in pairs])
-            order = np.argsort(docs, kind="stable")
-            docs, cs = docs[order], cs[order]
+            if not len(pdf):
+                continue
+            d, tf, dl, _bs = _decode_term_blocks(pdf)
+            nposts = pdf["n_postings"].to_numpy(np.int64)
+            idf_rep = np.repeat(
+                np.array([idfs[t] for t in pdf["term"]], dtype=np.float64),
+                nposts,
+            )
+            qid_rep = np.repeat(
+                pdf["query_id"].to_numpy(np.int32), nposts
+            )
+            tfn = tf * (bm25.K1 + 1.0) / (
+                tf + bm25.K1
+                * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
+            )
+            contrib = idf_rep * tfn
+            order = np.lexsort((d, qid_rep))
+            qs_, ds_, cs_ = qid_rep[order], d[order], contrib[order]
             starts = np.concatenate(
-                ([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1)
+                ([0],
+                 np.flatnonzero(
+                     (qs_[1:] != qs_[:-1]) | (ds_[1:] != ds_[:-1])
+                 ) + 1)
             )
             yield pd.DataFrame(
                 {
-                    "query_id": np.full(len(starts), q, dtype=np.int32),
-                    "doc_id": docs[starts],
-                    "partial": np.add.reduceat(cs, starts),
+                    "query_id": qs_[starts],
+                    "doc_id": ds_[starts],
+                    "partial": np.add.reduceat(cs_, starts),
                 }
             )
 

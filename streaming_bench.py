@@ -71,6 +71,10 @@ def main() -> None:
         shutil.move(
             f"{work}/staged_{b}.parquet", f"{landing}/b{b:05d}.parquet"
         )
+    # JVM/executor warmup outside the ingest clock: the corpus staging above
+    # is pure pandas, so without this the FIRST Spark job of the process
+    # (inside micro-batch 0) would bill session startup to ingest
+    spark.read.parquet(landing).count()
     t0 = time.perf_counter()
     q = incremental_index_stream(
         spark, landing, ix_root, f"{work}/cp", fanout=FANOUT,
