@@ -155,11 +155,23 @@ class _TermIter:
     on sub-range boundaries, while decode stays per block (``blk_of`` maps
     each metadata entry to its parent block; a decoded block is cached so
     crossing its sub-ranges never re-decodes).
+
+    ``pending``: the cursor may be a LOWER BOUND rather than a real doc_id.
+    When a skip target lands inside an undecoded (sub-)range, decoding the
+    parent block just to learn the exact landing doc is wasted work if the
+    next bound check skips past it anyway — with sub-range granularity the
+    skip loop takes ~4x more steps, and each step's target lands mid-range
+    of the OTHER prefix iterators often enough that eager decode made the
+    finer metadata decode MORE than block-granular metadata (measured
+    +29/722 blocks per hot term at sf0.1).  Instead ``next_geq`` parks
+    ``cur = target`` with ``pending=True``; ``materialize()`` resolves it
+    to the true next doc only when the WAND loop is about to evaluate.
     """
 
     __slots__ = (
         "term", "idf", "ub", "mins", "maxs", "bmaxs", "blk_of", "dvb",
         "tvb", "lvb", "bi", "pos", "docs", "tfs", "dls", "cur", "dec_blk",
+        "pending",
     )
 
     def __init__(self, term: str, idf: float, blocks: pd.DataFrame) -> None:
@@ -200,6 +212,7 @@ class _TermIter:
         self.docs = None
         self.dec_blk = -1
         self.cur = int(self.mins[0])
+        self.pending = False
 
     def _decode(self, blk: int) -> None:
         self.docs, self.tfs = decode_block(
@@ -211,9 +224,16 @@ class _TermIter:
         DECODE_STATS["postings"] += len(self.docs)
 
     def next_geq(self, target: int) -> int:
-        """Advance to the first posting with doc_id >= target."""
+        """Advance to the first posting with doc_id >= target.
+
+        May return a PENDING lower bound (``self.pending``) when the
+        target lands inside an undecoded (sub-)range — callers that need
+        the exact doc must call :meth:`materialize` first."""
         if self.cur >= target:
+            # a pending cur >= target is still a valid lower bound for the
+            # new target (the true next doc is >= cur >= target)
             return self.cur
+        self.pending = False
         while self.bi < len(self.mins):
             if self.maxs[self.bi] < target:  # metadata skip, no decode
                 self.bi += 1
@@ -230,7 +250,13 @@ class _TermIter:
                 return self.cur
             blk = int(self.blk_of[self.bi])
             if self.dec_blk != blk:
-                self._decode(blk)
+                # target is strictly inside an undecoded range: park the
+                # cursor at target as a lower bound instead of decoding —
+                # if the next bound check fails, the block never decodes.
+                self.cur = target
+                self.pos = -1
+                self.pending = True
+                return self.cur
             pos = int(np.searchsorted(self.docs, target, side="left"))
             self.pos = pos
             self.cur = int(self.docs[pos])
@@ -239,6 +265,23 @@ class _TermIter:
                 self.bi += 1
             return self.cur
         self.cur = _INF
+        return self.cur
+
+    def materialize(self) -> int:
+        """Resolve a pending lower-bound cursor to the true next doc_id
+        (decodes the parent block).  No-op when the cursor is exact."""
+        if not self.pending:
+            return self.cur
+        self.pending = False
+        target = self.cur
+        # the pending range's max_doc_id >= target and every metadata max
+        # is a real posting, so the block holds a doc >= target
+        self._decode(int(self.blk_of[self.bi]))
+        pos = int(np.searchsorted(self.docs, target, side="left"))
+        self.pos = pos
+        self.cur = int(self.docs[pos])
+        while self.maxs[self.bi] < self.cur:
+            self.bi += 1
         return self.cur
 
     def block_max_at(self, target: int) -> float:
@@ -257,6 +300,8 @@ class _TermIter:
         return int(self.maxs[bj]) if bj < len(self.mins) else _INF
 
     def score_current(self, n_docs: int, avgdl: float) -> float:
+        if self.pending:  # callers materialize first; belt-and-braces
+            self.materialize()
         blk = int(self.blk_of[self.bi])
         if self.docs is None or self.dec_blk != blk:
             self._decode(blk)
@@ -681,6 +726,19 @@ def _wand_one_query(
             for it in iters:
                 if it.cur <= pivot:  # only prefix iterators move
                     it.next_geq(target)
+            continue
+
+        # Bound check passed: the prefix is about to be evaluated at pivot,
+        # so pending lower-bound cursors must resolve to real doc_ids (the
+        # fake cur could equal pivot without the doc existing).  If any
+        # cursor moves, the sort/pivot is stale — redo the loop.
+        moved = False
+        for it in iters:
+            if it.pending and it.cur <= pivot:
+                before = it.cur
+                if it.materialize() != before:
+                    moved = True
+        if moved:
             continue
 
         if iters[0].cur == pivot:
