@@ -468,6 +468,112 @@ def _near_window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
     return False
 
 
+def _verify_candidates(
+    cset: np.ndarray,
+    tf_c: dict[str, np.ndarray],
+    decoded: dict[str, list],
+    distinct: list[str],
+    phrase: list[str],
+    slop: int,
+    offs_cache: dict[str, list] | None = None,
+) -> np.ndarray:
+    """Position-verify ONE candidate chunk: decode position streams for the
+    chunk's docs only, then run the vectorized window (NEAR) or adjacency
+    (PHRASE) check.  ``cset`` is doc_id-sorted; ``tf_c[t]`` is term t's tf
+    aligned with it.  Returns a bool match mask aligned with ``cset``.
+
+    Verification is ONE numpy pass over the chunk (round-3 verdict: the
+    per-candidate Python loop was the hot-phrase scale ceiling).
+    Positions are offset-encoded into disjoint per-candidate ranges:
+    candidate i's positions map to [i*L, i*L + maxpos]; L exceeds
+    maxpos + slop + len(phrase), so no window or adjacency check can ever
+    cross a candidate boundary, and one global check covers every doc.
+
+    The hit postings' position bytes are sliced out (``offs_cache`` holds
+    each block's slice offsets, computed once across chunks) and decoded
+    in ONE codec call per term — a per-hit decode loop here measured
+    85 us/posting and dominated the zero-match worst case."""
+    from horus_ner_spark.index.codec import pos_slice_offsets
+
+    n_c = len(cset)
+    if slop > 0 and len(distinct) == 1:
+        # every candidate has >= 1 occurrence: all match, no decode needed
+        return np.ones(n_c, dtype=bool)
+    pos_cat: dict[str, np.ndarray] = {}
+    for t in distinct:
+        offs_t = (
+            offs_cache.setdefault(t, [None] * len(decoded[t]))
+            if offs_cache is not None
+            else [None] * len(decoded[t])
+        )
+        parts: list = []
+        tf_parts: list = []
+        ci_parts: list = []
+        for bj, (d, tf, _dl, pvb) in enumerate(decoded[t]):
+            p = np.minimum(np.searchsorted(cset, d), n_c - 1)
+            hits = np.flatnonzero(cset[p] == d)
+            if not len(hits):
+                continue
+            off = offs_t[bj]
+            if off is None:
+                off = offs_t[bj] = pos_slice_offsets(pvb, tf)
+            mv = memoryview(pvb)
+            parts.extend(mv[off[i] : off[i + 1]] for i in hits)
+            tf_parts.append(tf[hits])
+            ci_parts.append(p[hits])
+        tfh = np.concatenate(tf_parts)
+        cih = np.concatenate(ci_parts)
+        vals, starts = decode_positions(b"".join(parts), tfh)
+        slots: list = [None] * n_c
+        for j, c in enumerate(cih):
+            slots[c] = vals[starts[j] : starts[j + 1]]
+        pos_cat[t] = np.concatenate(slots)
+    maxpos = max(int(p.max()) for p in pos_cat.values())
+    L = np.int64(maxpos + max(slop, len(phrase)) + 2)
+    epos = {
+        t: pos_cat[t]
+        + np.repeat(np.arange(n_c, dtype=np.int64), tf_c[t]) * L
+        for t in distinct
+    }
+    if slop > 0:  # NEAR: unordered window coverage (span <= slop)
+        # minimal-covering-window sweep, vectorized: a window ending at
+        # merged position j spans (pos[j] - min_t lastpos_t[j]); some
+        # valid window exists iff for some j EVERY term's most recent
+        # occurrence is within slop.  lastpos_t is a running max over
+        # the merged stream (offset encoding voids cross-doc carry).
+        allp = np.concatenate([epos[t] for t in distinct])
+        lab = np.concatenate(
+            [np.full(len(epos[t]), i, dtype=np.int64)
+             for i, t in enumerate(distinct)]
+        )
+        order = np.argsort(allp, kind="stable")
+        allp, lab = allp[order], lab[order]
+        neg = np.int64(-(1 << 62))
+        ok = np.ones(len(allp), dtype=bool)
+        for i in range(len(distinct)):
+            last = np.maximum.accumulate(np.where(lab == i, allp, neg))
+            ok &= last >= allp - slop
+        mci = np.unique(allp[ok] // L)
+    else:
+        # phrase check across the whole chunk at once: a start position p
+        # such that term_i sits at p+i, via sorted membership (the encoded
+        # streams are globally ascending: positions ascend within a
+        # candidate and candidate ranges are disjoint ascending)
+        anchors = epos[phrase[0]]
+        for i, t in enumerate(phrase[1:], start=1):
+            if not len(anchors):
+                break
+            anchors = anchors[_in_sorted(epos[t], anchors + i)]
+        mci = (
+            np.unique(anchors // L)
+            if len(anchors)
+            else np.empty(0, dtype=np.int64)
+        )
+    mask = np.zeros(n_c, dtype=bool)
+    mask[mci] = True
+    return mask
+
+
 def _phrase_one_query(
     term_blocks: dict[str, pd.DataFrame],
     term_df: dict[str, int],
@@ -493,8 +599,6 @@ def _phrase_one_query(
     retrieval (src/core/feature_extraction/util.py:154-181 NP chunks are
     searched as a unit; util.py:623-712 emits compound rows first) — an
     index without positions cannot answer them."""
-    from horus_ner_spark.index.codec import pos_slice_offsets
-
     distinct = sorted(set(phrase))
     if not distinct:  # fully stoplisted/empty phrase matches nothing
         return []
@@ -536,119 +640,97 @@ def _phrase_one_query(
     if not len(inter):
         return []
 
-    def _member(d: np.ndarray) -> np.ndarray:
-        # membership against the sorted candidate set without re-sorting
-        pos = np.minimum(np.searchsorted(inter, d), len(inter) - 1)
-        return inter[pos] == d
-
-    # pass 2: decode positions only for blocks that hold >= 1 candidate,
-    # landing them in CANDIDATE-ALIGNED per-term arrays (tf, doclen, and a
-    # concatenated position stream in candidate order).  Every candidate is
-    # in the intersection, so each term fills every slot exactly once.
+    # pass 1.5: candidate-aligned tf/doclen gather (positions stay
+    # encoded) — enough to score EVERY candidate before any position work.
     n_cand = len(inter)
     tf_a: dict[str, np.ndarray] = {}
     dl_a: dict[str, np.ndarray] = {}
-    pos_cat: dict[str, np.ndarray] = {}
     for t in distinct:
         tfs_t = np.zeros(n_cand, dtype=np.int64)
         dls_t = np.zeros(n_cand, dtype=np.int64)
-        slots: list = [None] * n_cand
-        for d, tf, dl, pvb in decoded[t]:
-            hits = np.flatnonzero(_member(d))
+        for d, tf, dl, _pvb in decoded[t]:
+            p = np.minimum(np.searchsorted(inter, d), n_cand - 1)
+            hits = np.flatnonzero(inter[p] == d)
             if not len(hits):
                 continue
-            ci = np.searchsorted(inter, d[hits])
+            ci = p[hits]
             tfs_t[ci] = tf[hits]
             dls_t[ci] = dl[hits]
-            if len(hits) * 8 >= len(d):  # dense: one vectorized decode
-                vals, starts = decode_positions(pvb, tf)
-                for c, i in zip(ci, hits):
-                    slots[c] = vals[starts[i] : starts[i + 1]]
-            else:  # sparse: slice + decode just the hit postings
-                off = pos_slice_offsets(pvb, tf)
-                for c, i in zip(ci, hits):
-                    vals, _ = decode_positions(
-                        pvb[off[i] : off[i + 1]], tf[i : i + 1]
-                    )
-                    slots[c] = vals
         tf_a[t], dl_a[t] = tfs_t, dls_t
-        pos_cat[t] = np.concatenate(slots)
 
-    # Verification is ONE numpy pass over all candidates (round-3 verdict:
-    # the per-candidate Python loop was the hot-phrase scale ceiling).
-    # Positions are offset-encoded into disjoint per-candidate ranges:
-    # candidate i's positions map to [i*L, i*L + maxpos]; L exceeds
-    # maxpos + slop + len(phrase), so no window or adjacency check can ever
-    # cross a candidate boundary, and one global check covers every doc.
-    maxpos = max(int(p.max()) for p in pos_cat.values())
-    L = np.int64(maxpos + max(slop, len(phrase)) + 2)
-    epos = {
-        t: pos_cat[t]
-        + np.repeat(np.arange(n_cand, dtype=np.int64), tf_a[t]) * L
-        for t in distinct
-    }
-    if slop > 0:  # NEAR: unordered window coverage (span <= slop)
-        if len(distinct) == 1:
-            # every candidate has >= 1 occurrence: all match
-            mci = np.arange(n_cand, dtype=np.int64)
-        else:
-            # minimal-covering-window sweep, vectorized: a window ending at
-            # merged position j spans (pos[j] - min_t lastpos_t[j]); some
-            # valid window exists iff for some j EVERY term's most recent
-            # occurrence is within slop.  lastpos_t is a running max over
-            # the merged stream (offset encoding voids cross-doc carry).
-            allp = np.concatenate([epos[t] for t in distinct])
-            lab = np.concatenate(
-                [np.full(len(epos[t]), i, dtype=np.int64)
-                 for i, t in enumerate(distinct)]
-            )
-            order = np.argsort(allp, kind="stable")
-            allp, lab = allp[order], lab[order]
-            neg = np.int64(-(1 << 62))
-            ok = np.ones(len(allp), dtype=bool)
-            for i in range(len(distinct)):
-                last = np.maximum.accumulate(np.where(lab == i, allp, neg))
-                ok &= last >= allp - slop
-            mci = np.unique(allp[ok] // L)
-    else:
-        # phrase check across ALL candidates at once: a start position p
-        # such that term_i sits at p+i, via sorted membership (the encoded
-        # streams are globally ascending: positions ascend within a
-        # candidate and candidate ranges are disjoint ascending)
-        anchors = epos[phrase[0]]
-        for i, t in enumerate(phrase[1:], start=1):
-            if not len(anchors):
-                break
-            anchors = anchors[_in_sorted(epos[t], anchors + i)]
-        mci = (
-            np.unique(anchors // L)
-            if len(anchors)
-            else np.empty(0, dtype=np.int64)
-        )
-    if not len(mci):
-        return []
-
-    # BM25 over the matched candidates: per-term contributions vectorized
-    # with the exact expression shape of bm25.tf_norm (element-wise IEEE
-    # ops in the same association order -> bit-identical to the scalar
-    # path), summed per doc with math.fsum in sorted-term order — the
-    # shared determinism contract.
+    # Score-ordered LAZY verification (round 4): position decode + the
+    # window/adjacency check are the expensive part, and most candidates
+    # of a hot phrase can never rank.  Scores depend only on tf/doclen
+    # (already decoded above), so candidates are ORDERED by a vectorized
+    # score s_approx first and verified in descending-score chunks; the
+    # scan stops once no unverified candidate can beat (or tie) the k-th
+    # verified match.  Every match's ranking score is recomputed with the
+    # exact contract arithmetic (math.fsum in sorted-term order, then
+    # quantize), so results are bit-identical to exhaustive verification;
+    # s_approx is only an ordering key plus a PROVEN upper envelope:
+    # contributions are non-negative, chained-np-sum error is bounded by
+    # (m-1)*eps*sum(contribs) and fsum is exactly rounded, so
+    # s_approx * (1 + 4*m*eps) >= every exact score.
     idfs = {t: bm25.idf(n_docs, term_df[t]) for t in distinct}
-    cols = []
-    for t in distinct:  # sorted-term order: determinism contract
-        tfm = tf_a[t][mci]
-        tfn = tfm * (bm25.K1 + 1.0) / (
-            tfm
-            + bm25.K1
-            * (1.0 - bm25.B + bm25.B * dl_a[t][mci].astype(np.float64) / avgdl)
+
+    def _contribs(idx: np.ndarray) -> list[np.ndarray]:
+        # per-term BM25 contributions with the exact expression shape of
+        # bm25.tf_norm (element-wise IEEE ops in the same association
+        # order -> bit-identical to the scalar path), sorted-term order
+        cols = []
+        for t in distinct:
+            tfm = tf_a[t][idx]
+            tfn = tfm * (bm25.K1 + 1.0) / (
+                tfm
+                + bm25.K1
+                * (1.0 - bm25.B
+                   + bm25.B * dl_a[t][idx].astype(np.float64) / avgdl)
+            )
+            cols.append(idfs[t] * tfn)
+        return cols
+
+    all_cols = _contribs(np.arange(n_cand, dtype=np.int64))
+    s_approx = all_cols[0].copy()
+    for c in all_cols[1:]:
+        s_approx += c
+    del all_cols
+    fuzz = 4.0 * len(distinct) * np.finfo(np.float64).eps
+    order = np.lexsort((inter, -s_approx))
+
+    verified: list[tuple[float, int]] = []  # (quantized score, doc_id)
+    lo = 0
+    step = max(4 * k, 1024)
+    offs_cache: dict[str, list] = {}  # per-block pos offsets, shared
+    while lo < n_cand:
+        take = order[lo:lo + step]
+        lo += step
+        step *= 4  # geometric growth: O(log) chunks worst-case
+        cset = np.sort(inter[take])
+        gidx = np.searchsorted(inter, cset)  # chunk slot -> global slot
+        match = _verify_candidates(
+            cset, {t: tf_a[t][gidx] for t in distinct},
+            decoded, distinct, phrase, slop, offs_cache=offs_cache,
         )
-        cols.append(idfs[t] * tfn)
-    scored = [
-        (bm25.quantize(math.fsum(vals)), int(d))
-        for d, *vals in zip(inter[mci], *cols)
-    ]
-    scored.sort(key=lambda e: (-e[0], e[1]))
-    return [(r + 1, d, q) for r, (q, d) in enumerate(scored[:k])]
+        if match.any():
+            mg = gidx[match]
+            verified.extend(
+                (bm25.quantize(math.fsum(vals)), int(d))
+                for d, *vals in zip(inter[mg], *_contribs(mg))
+            )
+        if len(verified) >= k and lo < n_cand:
+            verified.sort(key=lambda e: (-e[0], e[1]))
+            del verified[k:]  # dropped entries rank below the k-th forever
+            theta = verified[k - 1][0]
+            # remaining exact scores are bounded by s_approx*(1+fuzz)
+            # (descending in `order`); theta is on the 1e-6 quantize grid,
+            # so anything strictly below theta - 0.5e-6 cannot even TIE
+            # after quantization — and a tie from a later chunk would lose
+            # the doc_id tie-break only unreliably, so ties must be ruled
+            # out, not adjudicated.
+            if s_approx[order[lo]] * (1.0 + fuzz) < theta - 5e-7:
+                break
+    verified.sort(key=lambda e: (-e[0], e[1]))
+    return [(r + 1, d, q) for r, (q, d) in enumerate(verified[:k])]
 
 
 def _score_one_query(

@@ -96,7 +96,8 @@ class IndexServer:
                  cache_terms: int = 4096, range_bits: int = RANGE_BITS,
                  split_threshold: int = SPLIT_THRESHOLD,
                  fanout_workers: int | None = None,
-                 fanout_min_postings: int = FANOUT_MIN_POSTINGS) -> None:
+                 fanout_min_postings: int = FANOUT_MIN_POSTINGS,
+                 fan_modes: tuple = ("AND",)) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -174,21 +175,26 @@ class IndexServer:
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
         self._single_segment = len(dirs) == 1
         self.n_pbuckets = n_pbuckets
-        # hot-conjunctive fan-out (round-3 verdict #1): AND/PHRASE/NEAR
-        # queries with a hot term (df > split_threshold) run one kernel per
-        # doc-id range bucket — the serving-side analog of
-        # query._conjunctive_distributed's rb fan-out.  Default is SERIAL
-        # bucket iteration (workers=1): per-bucket candidate sets are small
-        # enough that the kernel's numpy calls stop amortizing GIL handoffs,
-        # and a thread pool CONVOYS — measured on a 3-hot-term NEAR over
-        # 800k docs: 5.2 s serial, 15.0 s at 4 threads, 76.1 s at 16
-        # threads, vs 9.4 s unfanned.  Serial fanning still beats the
-        # single kernel because each bucket verifies a smaller candidate
-        # set.  fanout_workers=0 disables (the single-task path, kept for
-        # differential tests); >1 re-enables the pool (for a future no-GIL
-        # runtime — not profitable on CPython today).
+        # hot-conjunctive fan-out (round-3 verdict #1): queries in
+        # ``fan_modes`` with a hot term (df > split_threshold) run one
+        # kernel per doc-id range bucket — the serving-side analog of
+        # query._conjunctive_distributed's rb fan-out.  Execution is
+        # SERIAL bucket iteration (workers=1 default): per-bucket numpy
+        # calls are too small to amortize GIL handoffs, so a thread pool
+        # CONVOYS — measured on a 3-hot-term NEAR over 800k docs with the
+        # exhaustive-verify kernel: 5.2 s serial, 15.0 s at 4 threads,
+        # 76.1 s at 16 threads, vs 9.4 s unfanned.  Default fans ONLY
+        # "AND": since the phrase kernel gained score-ordered lazy
+        # verification, a single kernel stops after ~k verified matches
+        # globally, while fanning forces every bucket to verify its own
+        # top-k (measured 800-doc NEAR: 2.0 s single vs 8.3 s fanned).
+        # Beyond-memory candidate sets belong to bm25_distributed, not the
+        # in-process server.  fanout_workers=0 disables fanning entirely
+        # (kept for differential tests); >1 re-enables the pool (for a
+        # future no-GIL runtime — not profitable on CPython today).
         self.range_bits = range_bits
         self.split_threshold = split_threshold
+        self._fan_modes = tuple(fan_modes)
         self._fanout_workers = 1 if fanout_workers is None else fanout_workers
         self._fanout_min_postings = fanout_min_postings
         self._pool: ThreadPoolExecutor | None = None
@@ -338,7 +344,7 @@ class IndexServer:
         kernel was 29.2 s vs 4.4 s distributed on a 3-hot-term NEAR at
         sf0.8."""
         if (
-            mode in ("AND", "PHRASE", "NEAR")
+            mode in self._fan_modes
             and self._fanout_workers
             and any(
                 term_df.get(t, 0) > self.split_threshold for t in term_blocks

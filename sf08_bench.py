@@ -62,20 +62,29 @@ def main() -> None:
     }
     hot_q = " ".join(top3)
 
-    fanned = IndexServer(paths.root)
+    # three serving configurations: the DEFAULT (lazy score-ordered
+    # verification, AND-only fanning), explicit rb fan-out for all
+    # conjunctive modes, and fanning fully disabled
+    default = IndexServer(paths.root)
+    fanned = IndexServer(paths.root,
+                         fan_modes=("AND", "PHRASE", "NEAR"))
     single = IndexServer(paths.root, fanout_workers=0)
-    for name, srv in (("fanned", fanned), ("single_task", single)):
+    servers = (("default", default), ("fanned", fanned),
+               ("single_task", single))
+    for name, srv in servers:
         srv.search(hot_q, "python", k=10, mode="NEAR", slop=8)  # warm
         t0 = time.perf_counter()
         res = srv.search(hot_q, "python", k=10, mode="NEAR", slop=8)
         out[f"serve_near_hot_{name}_s"] = round(time.perf_counter() - t0, 2)
         out[f"serve_near_hot_{name}_rows"] = len(res)
-    a = fanned.search(hot_q, "python", 10, "NEAR", slop=8)
-    b = single.search(hot_q, "python", 10, "NEAR", slop=8)
-    out["fanned_equals_single"] = bool(a.equals(b))
-    # PHRASE hot pair through both paths too
+    a = default.search(hot_q, "python", 10, "NEAR", slop=8)
+    b = fanned.search(hot_q, "python", 10, "NEAR", slop=8)
+    c = single.search(hot_q, "python", 10, "NEAR", slop=8)
+    out["fanned_equals_single"] = bool(a.equals(b) and a.equals(c))
+    # PHRASE hot pair through all paths too
     pq_ = " ".join(top3[:2])
-    for name, srv in (("fanned", fanned), ("single_task", single)):
+    for name, srv in servers:
+        srv.search(pq_, "python", k=10, mode="PHRASE")  # warm
         t0 = time.perf_counter()
         srv.search(pq_, "python", k=10, mode="PHRASE")
         out[f"serve_phrase_hot_{name}_s"] = round(time.perf_counter() - t0, 2)

@@ -292,7 +292,8 @@ def test_serve_hot_conjunctive_fanout_rank_identical(spark, tmp_path):
     paths = build_index(spark, cp, str(tmp_path / "ix"), split_threshold=thr)
 
     fanned = IndexServer(paths.root, split_threshold=thr,
-                         fanout_min_postings=0)
+                         fanout_min_postings=0,
+                         fan_modes=("AND", "PHRASE", "NEAR"))
     single = IndexServer(paths.root, split_threshold=thr, fanout_workers=0)
     queries = [
         {"query_id": 1, "query_text": "hotword nextword", "lang": "en",
