@@ -258,6 +258,7 @@ def main() -> None:
         "p50_ms": after["p50_ms"],
         "p99_ms": after["p99_ms"],
         "lru_hit_rate": stats_resp.get("lru_hit_rate"),
+        "result_cache_hit_rate": stats_resp.get("result_cache_hit_rate"),
     }
     daemon.shutdown()
 

@@ -7,7 +7,12 @@ Flask app with one global extractor built at import).  The first two map
 to build_index/submit_job; this module completes the map (SURVEY.md §3):
 a thin HTTP front end over :class:`IndexServer`, stdlib-only
 (ThreadingHTTPServer), holding the tiny corpus stats + LRU term cache in
-process and reading only pruned postings per query.
+process and reading only pruned postings per query.  ``/search`` results
+are additionally served through a single-flight LRU request cache
+(:class:`_ResultCache`): the index behind a daemon is immutable for its
+lifetime, so hot repeated queries cost one scoring pass total, and
+concurrent duplicates coalesce onto one leader instead of stampeding the
+GIL-bound kernel.
 
 Endpoints (JSON over HTTP):
 
@@ -31,7 +36,7 @@ from __future__ import annotations
 import json
 import threading
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from horus_ner_spark.index.serve import IndexServer
@@ -39,6 +44,71 @@ from horus_ner_spark.index.serve import IndexServer
 # latency window: enough for a faithful p99, bounded so an always-on
 # daemon never grows memory with query count
 _LAT_WINDOW = 100_000
+
+# request-cache capacity: one daemon serves one immutable segment set, so
+# a completed result never invalidates; the bound is purely memory (k<=100
+# rows per entry -> a few MB at 4096 entries)
+_RESULT_CACHE_CAP = 4096
+
+
+class _ResultCache:
+    """Single-flight LRU request cache over an immutable index.
+
+    The daemon's IndexServer is constructed once over a fixed segment set
+    and the index files never mutate underneath it (compaction writes NEW
+    directories; a daemon is restarted to adopt them — serve.py's design
+    note), so identical requests are pure and cacheable for the daemon's
+    lifetime.  Two serving-scale behaviors, mirroring a search engine's
+    shard request cache:
+
+    - LRU over completed results: a hot query replayed by many clients is
+      computed once, then served from memory.
+    - single-flight (dogpile protection): concurrent requests for the SAME
+      key while it is being computed wait on one leader instead of each
+      burning a GIL-bound scoring pass.
+
+    The cache lives at the HTTP layer, NOT in IndexServer, so library-mode
+    latency measurements (bench serve_cold/serve_warm) keep measuring the
+    scoring kernel itself.
+    """
+
+    def __init__(self, capacity: int = _RESULT_CACHE_CAP) -> None:
+        self._cap = capacity
+        self._lock = threading.Lock()
+        self._done: OrderedDict[tuple, list] = OrderedDict()
+        self._inflight: dict[tuple, threading.Event] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key: tuple, compute) -> list:
+        while True:
+            with self._lock:
+                if key in self._done:
+                    self.hits += 1
+                    self._done.move_to_end(key)
+                    return self._done[key]
+                ev = self._inflight.get(key)
+                if ev is None:
+                    ev = self._inflight[key] = threading.Event()
+                    self.misses += 1
+                    break
+            # another thread is computing this key: wait, then re-check
+            # (the leader may have failed, in which case we take over)
+            ev.wait()
+        try:
+            val = compute()
+        except BaseException:
+            with self._lock:
+                self._inflight.pop(key, None)
+            ev.set()  # wake waiters so one of them retries as leader
+            raise
+        with self._lock:
+            self._done[key] = val
+            while len(self._done) > self._cap:
+                self._done.popitem(last=False)
+            self._inflight.pop(key, None)
+        ev.set()
+        return val
 
 
 def _percentile(sorted_vals: list[float], q: float) -> float:
@@ -61,6 +131,7 @@ class ServeDaemon:
         self._latencies_ms: deque[float] = deque(maxlen=_LAT_WINDOW)
         self._served = 0
         self._lock = threading.Lock()
+        self._results = _ResultCache()
         daemon = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -92,6 +163,15 @@ class ServeDaemon:
                         "lru_hit_rate": round(hits / (hits + misses), 4)
                         if hits + misses
                         else 0.0,
+                        "result_cache_hits": daemon._results.hits,
+                        "result_cache_misses": daemon._results.misses,
+                        "result_cache_hit_rate": round(
+                            daemon._results.hits
+                            / (daemon._results.hits + daemon._results.misses),
+                            4,
+                        )
+                        if daemon._results.hits + daemon._results.misses
+                        else 0.0,
                         **s,
                     },
                 )
@@ -105,15 +185,23 @@ class ServeDaemon:
                 t0 = time.monotonic()
                 try:
                     if self.path == "/search":
-                        df = daemon.server.search(
-                            req.get("query_text", ""),
-                            req.get("lang", "python"),
-                            int(req.get("k", 10)),
-                            req.get("mode", "OR"),
-                            slop=int(req.get("slop", 8)),
+                        qt = req.get("query_text", "")
+                        lang = req.get("lang", "python")
+                        k = int(req.get("k", 10))
+                        mode = req.get("mode", "OR")
+                        slop = int(req.get("slop", 8))
+                        records = daemon._results.get_or_compute(
+                            (qt, lang, k, mode, slop),
+                            lambda: daemon.server.search(
+                                qt, lang, k, mode, slop=slop
+                            ).to_dict(orient="records"),
                         )
                     elif self.path == "/search_batch":
-                        df = daemon.server.search_batch(req.get("queries", []))
+                        # batch is the bulk surface; callers vary payloads,
+                        # so it goes straight to the kernel uncached
+                        records = daemon.server.search_batch(
+                            req.get("queries", [])
+                        ).to_dict(orient="records")
                     else:
                         return self._reply(404, {"error": "unknown path"})
                 except ValueError as exc:
@@ -134,12 +222,18 @@ class ServeDaemon:
                 self._reply(
                     200,
                     {
-                        "results": df.to_dict(orient="records"),
+                        "results": records,
                         "latency_ms": round(ms, 3),
                     },
                 )
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # default backlog (5) drops connections under concurrent load
+            # now that cached answers return in microseconds — clients see
+            # kernel RSTs once the accept queue overflows
+            request_queue_size = 128
+
+        self._httpd = Server((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 

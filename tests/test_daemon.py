@@ -78,6 +78,63 @@ def test_daemon_matches_library_and_tracks_latency(spark, sf001_index):
     assert daemon.latency_summary()["queries_served"] >= 6
 
 
+def test_daemon_result_cache_single_flight(spark, sf001_index):
+    """Round-4 serving feature: /search runs through a single-flight LRU
+    request cache — repeats are hits with identical payloads, concurrent
+    duplicates coalesce onto one kernel pass, and a failing query neither
+    poisons the cache nor kills the daemon."""
+    import threading
+
+    _cp, paths = sf001_index
+    daemon = ServeDaemon(paths.root).start()
+    try:
+        q = {"query_text": "parse config file", "lang": "python", "k": 5}
+        _code, first = _post(daemon.port, "/search", q)
+        _code, second = _post(daemon.port, "/search", q)
+        assert second["results"] == first["results"]
+        _code, stats = _get(daemon.port, "/stats")
+        assert stats["result_cache_hits"] >= 1
+        assert stats["result_cache_misses"] == 1
+        # different k = different key = a real kernel pass
+        _code, smaller = _post(daemon.port, "/search", {**q, "k": 2})
+        assert smaller["results"] == first["results"][:2]
+        _code, stats = _get(daemon.port, "/stats")
+        assert stats["result_cache_misses"] == 2
+
+        # concurrent duplicates of a FRESH key: one leader computes, the
+        # rest wait on it — misses for the key advance by exactly 1
+        fresh = {"query_text": "tokenize stream", "lang": "python", "k": 7}
+        results, errs = [], []
+
+        def hit():
+            try:
+                results.append(_post(daemon.port, "/search", fresh)[1])
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errs.append(exc)
+
+        threads = [threading.Thread(target=hit) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs and len(results) == 8
+        assert all(r["results"] == results[0]["results"] for r in results)
+        _code, stats = _get(daemon.port, "/stats")
+        assert stats["result_cache_misses"] == 3  # fresh key computed once
+        assert stats["result_cache_hit_rate"] > 0.5
+
+        # failure path: bad mode is a 400 every time (never cached as a
+        # result), and the daemon keeps serving afterwards
+        for _ in range(2):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(daemon.port, "/search", {**q, "mode": "NOPE"})
+            assert exc.value.code == 400
+        _code, alive = _post(daemon.port, "/search", q)
+        assert alive["results"] == first["results"]
+    finally:
+        daemon.shutdown()
+
+
 def test_submit_job_serve_subcommand(spark, sf001_index):
     """CLI lifecycle surface: `submit_job.py serve` starts the daemon
     (Spark-free), prints its JSON banner, and answers HTTP queries."""
