@@ -46,9 +46,14 @@ from horus_ner_spark.index.serve import IndexServer
 _LAT_WINDOW = 100_000
 
 # request-cache capacity: one daemon serves one immutable segment set, so
-# a completed result never invalidates; the bound is purely memory (k<=100
-# rows per entry -> a few MB at 4096 entries)
+# a completed result never invalidates; the bound is purely memory
+# (k <= _MAX_K rows per entry, enforced below — without the k bound a
+# client-chosen k would control how many bytes each LRU entry pins)
 _RESULT_CACHE_CAP = 4096
+
+# serving-path bound on requested top-k: caps both per-request scoring
+# work and the retained size of a cache entry
+_MAX_K = 1000
 
 
 class _ResultCache:
@@ -188,6 +193,11 @@ class ServeDaemon:
                         qt = req.get("query_text", "")
                         lang = req.get("lang", "python")
                         k = int(req.get("k", 10))
+                        if not 1 <= k <= _MAX_K:
+                            return self._reply(
+                                400,
+                                {"error": f"k must be in [1, {_MAX_K}]"},
+                            )
                         mode = req.get("mode", "OR")
                         slop = int(req.get("slop", 8))
                         records = daemon._results.get_or_compute(

@@ -85,10 +85,15 @@ def xxh64(data: bytes, seed: int) -> int:
 
 def spark_xxhash64_str_cols(*cols: str, seed: int = 42) -> int:
     """Spark's ``xxhash64(col, ...)`` over string values: the per-column
-    XXH64 chains through the running hash as seed.  Returns SIGNED int64
-    (Spark's LongType)."""
+    XXH64 chains through the running hash as seed.  A NULL column leaves
+    the running hash unchanged (Spark's HashExpression skips null inputs),
+    so a null-commit row hashes identically here and in ``F.xxhash64`` —
+    the doc_ids of the local and distributed build paths stay
+    interchangeable.  Returns SIGNED int64 (Spark's LongType)."""
     h = seed
     for c in cols:
+        if c is None or (isinstance(c, float) and c != c):  # None / NaN
+            continue
         h = xxh64(c.encode("utf-8"), h)
     return h - (1 << 64) if h >= (1 << 63) else h
 

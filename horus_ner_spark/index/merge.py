@@ -287,14 +287,25 @@ def merge_indexes(
         out.corpus_stats,
     )
 
-    # tagged union of every segment's posting blocks
+    # tagged union of every segment's posting blocks.  Pre-v5 segments
+    # lack the sub_* impact-metadata columns — normalize them to the v5
+    # schema with null arrays (the read path treats null sub metadata as
+    # block-granular, and every block re-encodes through encode_run below,
+    # so the OUTPUT is always full v5); without this, an upgraded
+    # deployment's first compaction over old segments crashed (KeyError in
+    # the split kernel / AnalysisException in unionByName).
+    _V5_COLS = (
+        ("sub_min_doc_ids", "array<long>"),
+        ("sub_max_doc_ids", "array<long>"),
+        ("sub_max_tfnorms", "array<double>"),
+    )
     blocks = None
     for i, seg in enumerate(segments):
-        b = (
-            catalog.read_table(spark, seg.postings)
-            .drop("pbucket")
-            .withColumn("seg", F.lit(i))
-        )
+        b = catalog.read_table(spark, seg.postings).drop("pbucket")
+        for name, typ in _V5_COLS:
+            if name not in b.columns:
+                b = b.withColumn(name, F.lit(None).cast(typ))
+        b = b.withColumn("seg", F.lit(i))
         blocks = b if blocks is None else blocks.unionByName(b)
 
     # hot/cold decision, phase 1 — metadata only (column-pruned scan):

@@ -796,14 +796,20 @@ def _wand_one_query(
             # Skip (NextShallow): jump the candidate (prefix) iterators
             # past the smallest current-(sub-)block boundary among them —
             # every doc in (pivot, d] sits in those same ranges, so the
-            # failed bound covers the whole jump.  Clamp at the next
-            # iterator's cur: beyond it the UB prefix changes and the
-            # pivot check must be redone.
+            # failed bound covers the whole jump.  Clamp at the first
+            # cursor STRICTLY past the pivot: beyond it the UB prefix
+            # changes and the pivot check must be redone.  Cursors tied at
+            # the pivot are already inside the candidate set (bm_sum and d
+            # above include every cur <= pivot), so clamping at a tie would
+            # degenerate to d = pivot - 1 and force one-doc_id steps — with
+            # lazy cursors re-parking at each fake bound, that was an
+            # effectively infinite loop over ~2^63-spread hash doc_ids.
             d = min(
                 it.block_boundary_at(pivot) for it in iters if it.cur <= pivot
             )
-            if pivot_idx + 1 < len(iters):
-                d = min(d, iters[pivot_idx + 1].cur - 1)
+            nxt = next((it.cur for it in iters if it.cur > pivot), None)
+            if nxt is not None:
+                d = min(d, nxt - 1)
             target = max(d + 1, pivot + 1)
             for it in iters:
                 if it.cur <= pivot:  # only prefix iterators move

@@ -392,19 +392,49 @@ def incremental_index_stream(
         if not maybe.any():
             return tbl
         sus = np.sort(ids[maybe])
-        lo, hi = int(sus[0]), int(sus[-1])
         dup = np.zeros(len(ids), dtype=bool)
         import pyarrow.parquet as pq
 
         for bl, (_lvl, p) in zip(unit_blooms, units):
             if not bl.may_contain(sus).any():
                 continue  # this unit provably holds none of the suspects
-            fs, base = catalog.filesystem(os.path.join(p, "docs.parquet"))
-            t = pq.read_table(
-                base, filesystem=fs, columns=["doc_id"],
-                filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
+            ref = os.path.join(p, "docs.parquet")
+            fs, base = catalog.filesystem(ref)
+            # prune PER ROW GROUP against the sorted suspect list: docs
+            # tables are doc_id-sorted, so each row group covers a tight
+            # [min, max] — a row group reads only if SOME suspect falls
+            # inside it.  (A single [min(sus), max(sus)] interval filter
+            # does not prune here: suspects are xxhash64 values spread
+            # over the full int64 range, so two suspects already span
+            # nearly every row group.)
+            parts = []
+            for rp, _sz in catalog.list_data_files(ref, suffix=".parquet"):
+                with fs.open_input_file(os.path.join(base, rp)) as f:
+                    pf = pq.ParquetFile(f)
+                    md = pf.metadata
+                    ci = next(
+                        j for j in range(md.num_columns)
+                        if md.row_group(0).column(j).path_in_schema
+                        == "doc_id"
+                    ) if md.num_row_groups else 0
+                    take = []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            take.append(g)  # no stats: read conservatively
+                            continue
+                        i = int(np.searchsorted(sus, st.min))
+                        if i < len(sus) and sus[i] <= st.max:
+                            take.append(g)
+                    if take:
+                        parts.append(
+                            pf.read_row_groups(take, columns=["doc_id"])
+                        )
+            if not parts:
+                continue
+            unit_ids = np.sort(
+                np.concatenate([t["doc_id"].to_numpy() for t in parts])
             )
-            unit_ids = np.sort(t["doc_id"].to_numpy())
             dup |= _in_sorted(unit_ids, ids)
         return tbl.filter(~dup) if dup.any() else tbl
 

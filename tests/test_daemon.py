@@ -169,3 +169,22 @@ def test_submit_job_serve_subcommand(spark, sf001_index):
     finally:
         proc.terminate()
         proc.wait(timeout=15)
+
+
+def test_daemon_rejects_oversized_k(spark, sf001_index):
+    """k is part of the cache key AND the retained payload, so an
+    unbounded client-chosen k would let one client pin gigabytes in the
+    LRU; the daemon rejects k outside [1, _MAX_K] with a 400 and keeps
+    serving."""
+    _cp, paths = sf001_index
+    daemon = ServeDaemon(paths.root).start()
+    try:
+        q = {"query_text": "spark session", "lang": "python"}
+        for bad_k in (0, -5, 10_000_000):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(daemon.port, "/search", {**q, "k": bad_k})
+            assert exc.value.code == 400
+        code, ok = _post(daemon.port, "/search", {**q, "k": 1000})
+        assert code == 200 and "results" in ok
+    finally:
+        daemon.shutdown()

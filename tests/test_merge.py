@@ -133,3 +133,57 @@ def test_merge_associative_and_idempotent(spark, segments):
     self_merge = merge_indexes(spark, [ab_c, ab_c], str(root / "m_self"))
     assert _blocks_signature(spark, self_merge) == _blocks_signature(spark, ab_c)
     assert _results(spark, self_merge) == _results(spark, full)
+
+
+def test_merge_accepts_pre_v5_segments(spark, segments, tmp_path):
+    """Upgrade path: segments built before layout v5 (no sub_* impact
+    metadata columns) must merge — both an all-v4 set and a mixed v4/v5
+    set — producing output byte-identical to the all-v5 merge (every block
+    re-encodes through encode_run, so the merged index is full v5)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from horus_ner_spark.index.build import IndexPaths
+
+    root, segs, full = segments
+    _SUB = ["sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms"]
+
+    def _strip_to_v4(seg, dst):
+        import shutil
+
+        shutil.copytree(seg.root, dst)
+        out = IndexPaths(dst)
+        t = pq.read_table(out.postings)
+        t = t.drop_columns([c for c in _SUB if c in t.column_names])
+        shutil.rmtree(out.postings)
+        # preserve the hive pbucket layout the reader expects
+        pdf = t.to_pandas()
+        for pb, sub in pdf.groupby("pbucket", sort=True):
+            d = f"{out.postings}/pbucket={int(pb)}"
+            import os
+
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    sub.drop(columns=["pbucket"]), preserve_index=False
+                ),
+                f"{d}/part-00000.parquet",
+            )
+        open(f"{out.postings}/_SUCCESS", "w").close()
+        return out
+
+    v4 = [
+        _strip_to_v4(s, str(tmp_path / f"v4seg{i}"))
+        for i, s in enumerate(segs)
+    ]
+    assert "sub_min_doc_ids" not in spark.read.parquet(v4[0].postings).columns
+
+    ref_sig = _blocks_signature(spark, full)
+    all_v4 = merge_indexes(spark, v4, str(tmp_path / "m_v4"))
+    assert _blocks_signature(spark, all_v4) == ref_sig
+    assert "sub_min_doc_ids" in spark.read.parquet(all_v4.postings).columns
+    mixed = merge_indexes(
+        spark, [v4[0], segs[1], v4[2]], str(tmp_path / "m_mix")
+    )
+    assert _blocks_signature(spark, mixed) == ref_sig
+    assert _results(spark, mixed) == _results(spark, full)

