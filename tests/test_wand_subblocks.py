@@ -175,3 +175,65 @@ def test_wand_no_livelock_on_tied_lazy_cursors():
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_wand_wide_differential_fuzz():
+    """Breadth fuzz vs the exhaustive kernel: negative doc_ids, 1-7 terms,
+    k 1-25, block sizes 8-128, impact spikes, and exclude (stale-dup)
+    sets.  300 trials of this generator ran clean offline; the committed
+    subset keeps suite time bounded while pinning every parameter axis."""
+    import signal
+
+    from horus_ner_spark.index.query import _exhaustive_one_query
+
+    def _boom(signum, frame):  # pragma: no cover - fires only on regression
+        raise TimeoutError("WAND kernel hung in wide fuzz")
+
+    old = signal.signal(signal.SIGALRM, _boom)
+    try:
+        for trial in range(50):
+            rng = np.random.RandomState(10_000 + trial)
+            bs = int(rng.choice([8, 16, 32, 128]))
+            nterms = int(rng.randint(1, 8))
+            k = int(rng.choice([1, 3, 10, 25]))
+            pool = np.unique(rng.randint(
+                -(np.int64(1) << 62), np.int64(1) << 62,
+                size=rng.randint(50, 1200), dtype=np.int64,
+            ))
+            blocks, present = {}, []
+            for t in range(nterms):
+                n = int(rng.randint(5, max(6, len(pool))))
+                pick = np.sort(
+                    rng.choice(pool, size=min(n, len(pool)), replace=False)
+                )
+                tfs = rng.randint(1, 8, size=len(pick)).astype(np.int64)
+                if rng.rand() < 0.3:
+                    tfs[rng.randint(0, len(pick))] = 100
+                dls = rng.randint(20, 800, size=len(pick)).astype(np.int64)
+                blocks[f"t{t}"] = pd.DataFrame(encode_run(
+                    f"t{t}", 0, pick, tfs, dls,
+                    b"", np.zeros(len(pick) + 1, dtype=np.int64), 200.0, bs,
+                ))
+                present.append(pick)
+            term_df = {
+                t: int(b["n_postings"].sum()) for t, b in blocks.items()
+            }
+            exclude = None
+            if rng.rand() < 0.5:
+                allp = np.unique(np.concatenate(present))
+                exclude = np.sort(rng.choice(
+                    allp, size=min(len(allp), rng.randint(1, 30)),
+                    replace=False,
+                ))
+            truth = _exhaustive_one_query(
+                blocks, term_df, k, 2_000_000, 200.0, exclude=exclude
+            )
+            signal.alarm(15)
+            got = _wand_one_query(
+                blocks, term_df, k, 2_000_000, 200.0, exclude=exclude
+            )
+            signal.alarm(0)
+            assert got == truth, f"trial {trial}"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
