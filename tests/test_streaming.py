@@ -6,6 +6,8 @@ watermarked window agg equals its batch form."""
 import os
 import shutil
 
+import pytest
+
 from horus_ner_spark.corpus import gen_corpus_pandas, query_set
 from horus_ner_spark.index.build import IndexPaths, build_index
 from horus_ner_spark.index.query import bm25_wand, bm25_wand_segments
@@ -185,3 +187,64 @@ def test_tier_seq_ignores_legacy_fallback_keys():
     assert _tier_seq([(0, 5, "L1_a"), (0, 2, "L1_b")]) == 2
     # all-legacy inputs: no seq at all (stays name-ordered)
     assert _tier_seq([(1, 0, "L1_a"), (1, 0, "L1_b")]) is None
+
+
+def test_compaction_crash_mid_merge_replays_clean(spark, tmp_path, monkeypatch):
+    """A merge that dies AFTER writing partial tier output but BEFORE the
+    atomic inputs.json commit must leave the tier invisible (active_units
+    ignores dirs without inputs.json) and be redone in full on the next
+    compaction pass — final results rank-identical to a single-shot
+    build.  This is the crash window between merge_indexes and
+    fs_write_json_atomic in compact_tiers."""
+    from horus_ner_spark.index import merge as merge_mod
+
+    corpus = gen_corpus_pandas(sf=0.001).iloc[:120]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ix_root = str(tmp_path / "crash_ix")
+    cp = str(tmp_path / "cp")
+    # two drops below fanout -> no compaction inside the stream yet
+    for i in range(2):
+        corpus.iloc[i * 60 : (i + 1) * 60].to_parquet(
+            landing / f"drop{i}.parquet", index=False
+        )
+        q = incremental_index_stream(
+            spark, str(landing), ix_root, cp, fanout=8
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+    assert len(active_units(ix_root)) == 2
+
+    real_merge = merge_mod.merge_indexes
+
+    def crashing_merge(spark_, segments, out_dir, **kw):
+        real_merge(spark_, segments, out_dir, **kw)  # full partial output…
+        raise RuntimeError("injected crash before inputs.json")
+
+    monkeypatch.setattr(
+        "horus_ner_spark.index.merge.merge_indexes", crashing_merge
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental.compact_tiers(spark, ix_root, fanout=2)
+    # the partial tier exists on disk but is NOT live
+    tdir = os.path.join(ix_root, "tiers")
+    partials = os.listdir(tdir)
+    assert len(partials) == 1
+    assert not os.path.exists(os.path.join(tdir, partials[0], "inputs.json"))
+    assert len(active_units(ix_root)) == 2  # still serving the segments
+
+    # replay without the fault: merge redone into the SAME deterministic
+    # dir, inputs.json committed, one live tier
+    monkeypatch.setattr(
+        "horus_ner_spark.index.merge.merge_indexes", real_merge
+    )
+    n = incremental.compact_tiers(spark, ix_root, fanout=2)
+    assert n == 1
+    units = active_units(ix_root)
+    assert len(units) == 1 and units[0][0] == 1
+    assert os.path.exists(os.path.join(tdir, partials[0], "inputs.json"))
+
+    full_corpus = str(tmp_path / "full/corpus.parquet")
+    spark.createDataFrame(corpus).write.parquet(full_corpus)
+    full = build_index(spark, full_corpus, str(tmp_path / "full/ix"))
+    assert _segment_results(spark, ix_root) == _merged_results(spark, full)
