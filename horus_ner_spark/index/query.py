@@ -740,15 +740,30 @@ def _score_one_query(
     n_docs: int,
     avgdl: float,
     exclude: np.ndarray | None = None,
+    doc_range: tuple[int, int] | None = None,
+    theta0: float = -math.inf,
 ) -> list[tuple[int, int, float]]:
     """Hybrid dispatch: vectorized exhaustive below the postings threshold,
-    block-max WAND above it.  Both obey the same determinism contract."""
+    block-max WAND above it.  Both obey the same determinism contract.
+
+    ``doc_range`` restricts candidates to an inclusive doc_id interval —
+    the rb fan-out's partition filter (OR scores are complete per doc
+    inside its home range because hot blocks are rb-pure and cold lists
+    are range-filtered by this parameter).  ``theta0`` seeds the WAND
+    threshold with an externally-known lower bound on the global k-th
+    best score (real evaluated docs only — the serial fan carries the
+    merged k-th best forward between buckets); exhaustive scoring ignores
+    it (everything decodes anyway)."""
     total = sum(int(b["n_postings"].sum()) for b in term_blocks.values() if len(b))
     if total <= _EXHAUSTIVE_MAX_POSTINGS:
         return _exhaustive_one_query(
-            term_blocks, term_df, k, n_docs, avgdl, exclude=exclude
+            term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
+            doc_range=doc_range,
         )
-    return _wand_one_query(term_blocks, term_df, k, n_docs, avgdl, exclude=exclude)
+    return _wand_one_query(
+        term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
+        doc_range=doc_range, theta0=theta0,
+    )
 
 
 def _wand_one_query(
@@ -758,20 +773,31 @@ def _wand_one_query(
     n_docs: int,
     avgdl: float,
     exclude: np.ndarray | None = None,
+    doc_range: tuple[int, int] | None = None,
+    theta0: float = -math.inf,
 ) -> list[tuple[int, int, float]]:
     iters = [
         _TermIter(t, bm25.idf(n_docs, term_df[t]), b)
         for t, b in sorted(term_blocks.items())
         if len(b)
     ]
+    hi_doc = _INF
+    if doc_range is not None:
+        lo_doc, hi_doc = doc_range
+        for it in iters:
+            it.next_geq(lo_doc)
     heap: list[tuple[float, int]] = []  # (quantized score, -doc_id); heap[0] = worst
 
     while iters:
-        iters = [it for it in iters if it.cur < _INF]
+        iters = [it for it in iters if it.cur < _INF and it.cur <= hi_doc]
         iters.sort(key=lambda it: it.cur)
         if not iters:
             break
-        theta_eff = (heap[0][0] - _EPS) if len(heap) >= k else -math.inf
+        # theta0 is a lower bound on the GLOBAL k-th best (real scores from
+        # other range buckets); pruning below it cannot drop a global
+        # top-k doc even while the local heap is not yet full
+        theta = max(heap[0][0], theta0) if len(heap) >= k else theta0
+        theta_eff = (theta - _EPS) if theta > -math.inf else -math.inf
         # WAND pivot: smallest prefix of cur-doc-sorted iters whose summed
         # global UBs can reach the threshold.
         acc = 0.0
@@ -886,6 +912,7 @@ def _dispatch_query(
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
     slop: int = 0,
+    theta0: float = -math.inf,
 ) -> list[tuple[int, int, float]]:
     """One mode dispatcher shared by bm25_wand, bm25_wand_segments and
     bm25_distributed (and mirrored by IndexServer), so a mode's semantics
@@ -913,7 +940,8 @@ def _dispatch_query(
             exclude=exclude, doc_range=doc_range,
         )
     return (or_kernel or _score_one_query)(
-        term_blocks, term_df, k, n_docs, avgdl, exclude=exclude
+        term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
+        doc_range=doc_range, theta0=theta0,
     )
 
 
@@ -1021,18 +1049,35 @@ def bm25_distributed(
     n_tasks: int | None = None,
     range_bits: int = None,
     split_threshold: int = None,
+    or_plan: str = "auto",
 ) -> DataFrame:
     """Partition-parallel BM25 over the compressed blocks — the mega-query
     scale path (round-1 review: WAND runs ONE Python task per query; a
     query whose terms span 10^10 postings needs the cluster, not a core).
 
-    OR plan: pruned block fetch -> repartition to ``n_tasks`` -> one Arrow
-    kernel per partition decodes its blocks and PARTIALLY AGGREGATES
-    per-(query, doc) contributions (map-side combine in the kernel, so the
-    shuffle carries one row per distinct doc per partition, never one per
-    posting) -> JVM hash-agg sums partials -> bround quantize -> window
-    top-k.  Rank-identical to bm25_bruteforce (same JVM summation +
-    quantize-then-rank contract; tested).
+    OR plans (``or_plan``: "auto" | "agg" | "fanout"):
+
+    * **fanout** (auto's choice when some query term is hot): the same
+      doc_id range-bucket fan-out as AND/PHRASE — hot blocks are rb-pure,
+      cold lists broadcast + range-filter, so every doc's score is
+      COMPLETE inside its home bucket and each of the 2^range_bits tasks
+      returns a local top-k.  The shuffle after the kernel carries at most
+      ``2^range_bits * k`` rows per query — O(k), not O(matching docs).
+      Unlike conjunctions, an OR match can live in a bucket no hot block
+      covers (a cold-only doc), so fanned OR queries add a skeleton row
+      per bucket to force every range group to exist.
+    * **agg** (auto's choice for all-cold queries, whose candidate sets
+      are bounded by ``len(terms) * split_threshold``): pruned block fetch
+      -> repartition to ``n_tasks`` -> one Arrow kernel per partition
+      decodes its blocks and PARTIALLY AGGREGATES per-(query, doc)
+      contributions (map-side combine in the kernel, so the shuffle
+      carries one row per distinct doc per partition, never one per
+      posting) -> JVM hash-agg sums partials -> bround quantize -> window
+      top-k.  This plan's shuffle is O(matching docs) — fine below the
+      hot threshold, the reason auto switches above it.
+
+    Both are rank-identical to bm25_bruteforce (same quantize-then-rank
+    contract; tested differentially in test_or_fanout.py).
 
     AND / PHRASE plan (round-3; the round-2 guard is gone): conjunctive
     semantics need every candidate doc's postings for ALL query terms in
@@ -1079,14 +1124,35 @@ def bm25_distributed(
                 f"unknown query mode {q.get('mode')!r} (query_id "
                 f"{q.get('query_id')}); expected OR, AND, PHRASE or NEAR"
             )
+    if or_plan not in ("auto", "agg", "fanout"):
+        raise ValueError(
+            f"unknown or_plan {or_plan!r}; expected auto, agg or fanout"
+        )
     conj = [q for q in queries if q.get("mode", "OR").upper() != "OR"]
-    or_queries = [q for q in queries if q.get("mode", "OR").upper() == "OR"]
+    all_or = [q for q in queries if q.get("mode", "OR").upper() == "OR"]
+
+    def _has_hot(q) -> bool:
+        qid = q["query_id"]
+        return any(
+            term_df.get(r["term"], 0) > split_threshold
+            for r in qt_rows
+            if r["query_id"] == qid
+        )
+
+    if or_plan == "agg":
+        fan_or: list[dict] = []
+    elif or_plan == "fanout":
+        fan_or = all_or
+    else:  # auto: hot queries take the O(k)-shuffle fan-out
+        fan_or = [q for q in all_or if _has_hot(q)]
+    fan_or_ids = {q["query_id"] for q in fan_or}
+    or_queries = [q for q in all_or if q["query_id"] not in fan_or_ids]
     parts = []
-    if conj:
+    if conj or fan_or:
         parts.append(
-            _conjunctive_distributed(
-                spark, paths, conj, qt_rows, term_df, n_docs, avgdl,
-                buckets, range_bits, split_threshold,
+            _rb_fanout_distributed(
+                spark, paths, conj + fan_or, qt_rows, term_df, n_docs,
+                avgdl, buckets, range_bits, split_threshold,
             )
         )
     if not or_queries:
@@ -1174,7 +1240,7 @@ def bm25_distributed(
     return out.orderBy("query_id", "rank")
 
 
-def _conjunctive_distributed(
+def _rb_fanout_distributed(
     spark: SparkSession,
     paths: IndexPaths,
     queries: list[dict],
@@ -1186,11 +1252,11 @@ def _conjunctive_distributed(
     range_bits: int,
     split_threshold: int,
 ) -> DataFrame:
-    """Distributed AND / PHRASE / NEAR: fan the kernel out over doc_id
-    range buckets (see bm25_distributed docstring; positions are
+    """Distributed AND / PHRASE / NEAR / hot-OR: fan the kernel out over
+    doc_id range buckets (see bm25_distributed docstring; positions are
     doc-local, so proximity verification partitions by doc range exactly
-    like phrase).  Returns an un-ordered results frame matching
-    RESULT_SCHEMA."""
+    like phrase; OR scores are complete per doc inside its home bucket).
+    Returns an un-ordered results frame matching RESULT_SCHEMA."""
     shift = 64 - range_bits
     qids = {q["query_id"] for q in queries}
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
@@ -1287,6 +1353,34 @@ def _conjunctive_distributed(
             ~F.col("query_id").isin(fan_qids)
         ).withColumn("grb", F.lit(None).cast("long"))
         tagged = spanned.unionByName(single)
+        fan_or_qids = sorted(
+            q for q in fan_qids if modes.get(q, "AND") == "OR"
+        )
+        if fan_or_qids:
+            # an OR match can live in a bucket no hot block covers (a doc
+            # matching only cold terms there); conjunctions cannot (every
+            # term is required, so uncovered buckets are provably empty).
+            # Force every (query, rb) group to exist with one NULL-term
+            # skeleton row per bucket — run_range drops the marker before
+            # grouping by term; the broadcast cold lists supply the
+            # candidates.  2^range_bits * |queries| rows: negligible.
+            # doc_ids are SIGNED xxhash64 values, so the arithmetic-shift
+            # bucket ids run [-2^(range_bits-1), 2^(range_bits-1)).
+            skel = (
+                spark.range(
+                    -(1 << (range_bits - 1)), 1 << (range_bits - 1)
+                )
+                .select(F.col("id").cast("long").alias("grb"))
+                .crossJoin(
+                    spark.createDataFrame(
+                        [(int(q),) for q in fan_or_qids], "query_id int"
+                    )
+                )
+            )
+            for f in tagged.schema.fields:
+                if f.name not in ("query_id", "grb"):
+                    skel = skel.withColumn(f.name, F.lit(None).cast(f.dataType))
+            tagged = tagged.unionByName(skel.select(*tagged.columns))
     else:
         tagged = blocks.withColumn("grb", F.lit(None).cast("long"))
 
@@ -1294,7 +1388,11 @@ def _conjunctive_distributed(
         qid = int(pdf["query_id"].iloc[0])
         grb = pdf["grb"].iloc[0]
         doc_range = None
-        term_blocks = {t: g for t, g in pdf.groupby("term")}
+        # NULL-term rows are the fanned-OR skeleton markers (they only
+        # force the group to exist); drop them before grouping
+        term_blocks = {
+            t: g for t, g in pdf[pdf["term"].notna()].groupby("term")
+        }
         if grb is not None and not pd.isna(grb):
             lo = int(grb) << shift
             doc_range = (lo, lo + (1 << shift) - 1)

@@ -33,6 +33,8 @@ fallback and its AND/PHRASE cross-segment bugs are gone).
 
 from __future__ import annotations
 
+import heapq
+import math
 import os
 import threading
 from collections import OrderedDict
@@ -178,7 +180,7 @@ class IndexServer:
         # hot-conjunctive fan-out (round-3 verdict #1): queries in
         # ``fan_modes`` with a hot term (df > split_threshold) run one
         # kernel per doc-id range bucket — the serving-side analog of
-        # query._conjunctive_distributed's rb fan-out.  Execution is
+        # query._rb_fanout_distributed's rb fan-out.  Execution is
         # SERIAL bucket iteration (workers=1 default): per-bucket numpy
         # calls are too small to amortize GIL handoffs, so a thread pool
         # CONVOYS — measured on a 3-hot-term NEAR over 800k docs with the
@@ -335,7 +337,7 @@ class IndexServer:
         """Route ONE kernel invocation.  Conjunctive modes with a hot term
         fan out over the doc-id range buckets the build already salts hot
         terms by: one kernel per bucket with a ``doc_range`` filter — the
-        exact partitioning of query._conjunctive_distributed, so results
+        exact partitioning of query._rb_fanout_distributed, so results
         are rank-identical to the single-task path (ranges partition the
         id space; per-range scores are complete) — run on a thread pool
         over the blocks already fetched.  Everything else (OR; all-cold
@@ -356,10 +358,16 @@ class IndexServer:
             # candidate buckets: a conjunctive match needs EVERY term, so
             # only buckets covered by every hot term's blocks can match
             # (hot-built blocks are rb-pure; a crossing block contributes
-            # its whole crossed range, defensively)
+            # its whole crossed range, defensively).  An OR match needs
+            # ANY term, so the candidate set is the UNION over ALL terms'
+            # covered buckets (cold blocks cross nearly everything, which
+            # is exactly the coverage OR correctness requires).
             rb_sets = []
             for t, b in term_blocks.items():
-                if term_df.get(t, 0) <= self.split_threshold:
+                if (
+                    mode != "OR"
+                    and term_df.get(t, 0) <= self.split_threshold
+                ):
                     continue
                 lo = b["min_doc_id"].to_numpy(np.int64) >> shift
                 hi = b["max_doc_id"].to_numpy(np.int64) >> shift
@@ -367,7 +375,10 @@ class IndexServer:
                 for a, z in zip(lo, hi):
                     s.update(range(int(a), int(z) + 1))
                 rb_sets.append(s)
-            rbs = sorted(set.intersection(*rb_sets))
+            rbs = sorted(
+                set.union(*rb_sets) if mode == "OR"
+                else set.intersection(*rb_sets)
+            )
             if len(rbs) > 1:
                 masks = {
                     t: (
@@ -377,29 +388,41 @@ class IndexServer:
                     for t, b in term_blocks.items()
                 }
 
-                def one_rb(rb: int):
+                def one_rb(rb: int, theta0: float = -math.inf):
                     lo = rb << shift
                     sub = {}
                     for t, b in term_blocks.items():
                         blo, bhi = masks[t]
                         bl = b[(blo <= rb) & (bhi >= rb)]
                         if not len(bl):
-                            return []  # some term absent here: no match
+                            if mode != "OR":
+                                return []  # conjunctive: term absent here
+                            continue  # OR: the other terms still match
                         sub[t] = bl
+                    if not sub:
+                        return []
                     return _dispatch_query(
                         sub, term_df, k, self.n_docs, self.avgdl, mode,
                         phrase, require_all, exclude=exclude,
                         doc_range=(lo, lo + (1 << shift) - 1), slop=slop,
+                        theta0=theta0,
                     )
 
                 pooled: list[tuple[float, int]] = []
-                results = (
-                    map(one_rb, rbs)  # serial: no pool, no GIL convoy
-                    if self._fanout_workers == 1
-                    else self._get_pool().map(one_rb, rbs)
-                )
-                for res in results:
-                    pooled.extend((s, d) for _r, d, s in res)
+                if self._fanout_workers == 1:
+                    # serial: no pool, no GIL convoy — and the merged
+                    # k-th best so far carries forward as each bucket's
+                    # WAND threshold seed (real evaluated scores, so a
+                    # valid global lower bound; OR kernels only)
+                    for rb in rbs:
+                        theta0 = -math.inf
+                        if mode == "OR" and len(pooled) >= k:
+                            theta0 = heapq.nlargest(k, pooled)[-1][0]
+                        for _r, d, s in one_rb(rb, theta0):
+                            pooled.append((s, d))
+                else:
+                    for res in self._get_pool().map(one_rb, rbs):
+                        pooled.extend((s, d) for _r, d, s in res)
                 # buckets partition the doc-id space: plain disjoint merge
                 pooled.sort(key=lambda e: (-e[0], e[1]))
                 return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
