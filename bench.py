@@ -195,6 +195,20 @@ def main() -> None:
     ).collect()
     timings["distributed_phrase_query"] = round(time.perf_counter() - t0, 3)
 
+    # distributed hot-OR (round 4): or_plan=auto routes the hot 3-term OR
+    # through the range-bucket fan-out (O(k) merge shuffle, not O(docs))
+    t0 = time.perf_counter()
+    bm25_distributed(
+        spark, paths,
+        [{"query_id": 902, "query_text": hot_q, "lang": "python", "k": 10,
+          "mode": "OR"}],
+    ).collect()
+    timings["distributed_or_hot"] = round(time.perf_counter() - t0, 3)
+    server.search(hot_q, "python", k=10, mode="OR")  # warm
+    t0 = time.perf_counter()
+    server.search(hot_q, "python", k=10, mode="OR")
+    timings["serve_or_hot"] = round(time.perf_counter() - t0, 3)
+
     # HTTP serving daemon (round 3): same query set through the REST surface;
     # daemon-side accounting gives p50/p99 incl. HTTP + JSON overhead
     import json as _json

@@ -68,6 +68,20 @@ def engine_bm25_brute_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_bruteforce(spark, paths, DOC_ENGINE_QUERIES)
 
 
+def bm25_or_fanout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-mode BM25 through the doc-id range-bucket fan-out plan
+    (``or_plan='fanout'``): every bucket computes complete per-doc scores
+    and returns a local top-k, so the merge shuffle carries O(2^range_bits
+    * k) rows instead of one row per matching doc.  Forced here (the auto
+    plan only fans hot terms, and sf0.01 has none) so the driver's oracle
+    gate covers the fan-out kernel itself — skeleton rows, cold-list
+    broadcast, per-bucket WAND — not just the agg plan."""
+    from horus_ner_spark.index.query import bm25_distributed
+
+    paths = _doc_index(spark, sf_dir)
+    return bm25_distributed(spark, paths, DOC_ENGINE_QUERIES, or_plan="fanout")
+
+
 # Phrase retrieval over the positional index.  Phrase adjacency is defined
 # on the KEPT token sequence (tokens surviving the length/stoplist gate) —
 # exactly what the oracle's normalized-token-string LIKE reproduces.
@@ -288,6 +302,7 @@ NEAR_ORACLE_SQL = _near_oracle_sql()
 
 ENTRIES: dict[str, tuple] = {
     "engine_bm25_wand_docs": (engine_bm25_wand_docs, ENGINE_ORACLE_SQL),
+    "bm25_or_fanout_docs": (bm25_or_fanout_docs, ENGINE_ORACLE_SQL),
     "engine_bm25_brute_docs": (engine_bm25_brute_docs, ENGINE_ORACLE_SQL),
     "bm25_phrase_topk_docs": (bm25_phrase_topk_docs, PHRASE_ORACLE_SQL),
     "bm25_near_topk_docs": (bm25_near_topk_docs, NEAR_ORACLE_SQL),

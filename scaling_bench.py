@@ -9,6 +9,14 @@ throughput at both plus scaling efficiency = (thr_32 / thr_8) / 4
 JVM + python workers) building into its own index dir from one shared
 corpus; results are appended to BENCH.md.
 
+CPU affinity (default ON, SCALING_AFFINITY=0 reverts): each child runs
+under ``taskset -c 0-(N-1)`` so level N gets EXACTLY N host cores — the
+same quota a real N-core executor has.  Without it, local-mode Spark
+under-reports scalability: every task is a JVM thread PLUS a separate
+python worker process, so un-pinned ``local[2]`` burns up to ~4 host
+cores and the small side of the ratio gets a hidden 2x subsidy that the
+4N side (closer to host saturation) does not.
+
 Usage:
   python scaling_bench.py                 # orchestrate both runs (sf=0.1)
   SCALING_SF=0.2 python scaling_bench.py  # bigger corpus
@@ -35,6 +43,7 @@ SF = float(os.environ.get("SCALING_SF", "0.1"))
 CORES_LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
 )
+AFFINITY = os.environ.get("SCALING_AFFINITY", "1") == "1"
 
 
 def child(cores: int, corpus_path: str, index_dir: str) -> None:
@@ -50,9 +59,17 @@ def child(cores: int, corpus_path: str, index_dir: str) -> None:
     t0 = time.perf_counter()
     n_results = bm25_wand(spark, paths, query_set()).count()
     query_s = time.perf_counter() - t0
+    from horus_ner_spark.index.manifest import Manifest
+
+    man = Manifest(index_dir)
+    stage_walls = {
+        s: (man.read_stage(s) or {}).get("totals", {}).get("wall_s")
+        for s in ("docs", "tf", "stats", "term_stats", "postings")
+    }
     print(json.dumps({
         "cores": cores, "build_s": round(build_s, 3),
         "query_batch_s": round(query_s, 3), "n_results": n_results,
+        "stage_walls": stage_walls,
     }))
     spark.stop()
 
@@ -80,10 +97,12 @@ def orchestrate() -> None:
         rep_rec: dict[int, dict] = {}
         for cores in CORES_LEVELS:
             shutil.rmtree(f"{work}/ix_{cores}", ignore_errors=True)
+            cmd = [sys.executable, os.path.abspath(__file__), "--run",
+                   str(cores), corpus_path, f"{work}/ix_{cores}"]
+            if AFFINITY:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run", str(cores),
-                 corpus_path, f"{work}/ix_{cores}"],
-                capture_output=True, text=True, timeout=3600,
+                cmd, capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
@@ -96,7 +115,14 @@ def orchestrate() -> None:
         # possible, so host-speed drift cancels to first order
         pe = (rep_rec[lo]["build_s"] / rep_rec[hi]["build_s"]) / (hi / lo)
         pair_effs.append(round(pe, 3))
-        print(f"rep{r} paired_efficiency {pe:.3f}")
+        stage_effs = {
+            s: round((rep_rec[lo]["stage_walls"][s]
+                      / rep_rec[hi]["stage_walls"][s]) / (hi / lo), 3)
+            for s in rep_rec[lo].get("stage_walls", {})
+            if rep_rec[lo]["stage_walls"].get(s)
+            and rep_rec[hi]["stage_walls"].get(s)
+        }
+        print(f"rep{r} paired_efficiency {pe:.3f} stages {stage_effs}")
 
     import statistics
 
@@ -112,19 +138,27 @@ def orchestrate() -> None:
         f"query_batch_s_local{hi}": results[hi]["query_batch_s"],
         "paired_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
+        "stage_effs_last_rep": stage_effs,
+        "affinity": AFFINITY,
     }
     print(json.dumps(summary))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
+        aff = (
+            "taskset-pinned to exactly N cores"
+            if AFFINITY else "UNPINNED (pre-r4 method: local[N] tasks use a "
+            "JVM thread + python worker each, ~2N host cores)"
+        )
         f.write(
             f"\n## Scaling run (sf={SF}, {n_docs} docs, same corpus, fresh process per "
-            f"level, best of {reps} alternating rep(s))\n\n"
+            f"level, {aff}, best of {reps} alternating rep(s))\n\n"
             f"| cores | build s | docs/s | query batch s |\n|---|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {results[c]['build_s']} | {round(thr[c],1)} | {results[c]['query_batch_s']} |\n"
                 for c in CORES_LEVELS
             )
             + f"\nPer-rep paired efficiencies: {pair_effs}; "
-            f"median scaling efficiency = **{eff:.3f}**\n"
+            f"median scaling efficiency = **{eff:.3f}**; "
+            f"per-stage (last rep): {stage_effs}\n"
         )
 
 

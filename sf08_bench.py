@@ -103,6 +103,39 @@ def main() -> None:
           "mode": "NEAR", "slop": 8}],
     ).collect()
     out["wand_1task_near_hot_s"] = round(time.perf_counter() - t0, 2)
+
+    # hot-OR (round-4): the legacy agg plan shuffles O(matching docs);
+    # the rb fan-out shuffles O(2^range_bits * k).  Same query, both
+    # plans, plus the serve-path hybrid kernel (single + fanned OR).
+    or_q = [{"query_id": 1, "query_text": hot_q, "lang": "python",
+             "k": 10, "mode": "OR"}]
+    rows_by_plan = {}
+    for plan in ("agg", "fanout"):
+        bm25_distributed(spark, paths, or_q, or_plan=plan).collect()  # warm
+        t0 = time.perf_counter()
+        rows_by_plan[plan] = sorted(
+            map(tuple, bm25_distributed(
+                spark, paths, or_q, or_plan=plan
+            ).collect())
+        )
+        out[f"distributed_or_hot_{plan}_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+    out["or_fanout_equals_agg"] = rows_by_plan["agg"] == rows_by_plan["fanout"]
+    or_fanned = IndexServer(paths.root, fan_modes=("AND", "OR"))
+    for name, srv in (("default", default), ("fanned", or_fanned),
+                      ("single_task", single)):
+        srv.search(hot_q, "python", k=10, mode="OR")  # warm
+        t0 = time.perf_counter()
+        res = srv.search(hot_q, "python", k=10, mode="OR")
+        out[f"serve_or_hot_{name}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"serve_or_hot_{name}_rows"] = len(res)
+    out["serve_or_fanned_equals_single"] = bool(
+        default.search(hot_q, "python", 10, "OR").equals(
+            or_fanned.search(hot_q, "python", 10, "OR"))
+        and default.search(hot_q, "python", 10, "OR").equals(
+            single.search(hot_q, "python", 10, "OR"))
+    )
     out["cpu_calib_end_s"] = cpu_calibration()
     print(json.dumps(out))
     spark.stop()
