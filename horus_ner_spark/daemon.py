@@ -41,6 +41,21 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from horus_ner_spark.index.serve import IndexServer
 
+# one IndexServer per worker process (set by _worker_init under the
+# ProcessPoolExecutor's spawn context; never used in the parent)
+_WORKER_SRV: IndexServer | None = None
+
+
+def _worker_init(index_dir) -> None:
+    global _WORKER_SRV
+    _WORKER_SRV = IndexServer(index_dir)
+
+
+def _worker_search(qt: str, lang: str, k: int, mode: str, slop: int) -> list:
+    return _WORKER_SRV.search(qt, lang, k, mode, slop=slop).to_dict(
+        orient="records"
+    )
+
 # latency window: enough for a faithful p99, bounded so an always-on
 # daemon never grows memory with query count
 _LAT_WINDOW = 100_000
@@ -131,8 +146,34 @@ class ServeDaemon:
         index_dir: str | list[str],
         host: str = "127.0.0.1",
         port: int = 0,
+        workers: int = 0,
     ) -> None:
+        """``workers`` > 0 scores cache-missing ``/search`` requests on a
+        pool of WORKER PROCESSES (spawn context), one IndexServer per
+        worker over the same immutable index files.  The in-process kernel
+        is GIL-bound, so a thread-per-request daemon serializes CONCURRENT
+        DISTINCT queries no matter how many HTTP threads it has — the
+        request cache only absorbs repeats.  Worker processes each own a
+        GIL, giving real core-parallel cold-miss serving; the single-flight
+        cache still coalesces duplicate keys onto one worker call.  The
+        default 0 keeps everything in-process (tests, single-user CLI).
+
+        Spawn (not fork) so a daemon hosted inside a Spark driver never
+        forks py4j/JVM state; workers lazily re-import the package and
+        mmap their own pyarrow readers."""
         self.server = IndexServer(index_dir)
+        self._pool = None
+        if workers > 0:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(index_dir,),
+            )
+        self.workers = workers
         self._latencies_ms: deque[float] = deque(maxlen=_LAT_WINDOW)
         self._served = 0
         self._lock = threading.Lock()
@@ -163,6 +204,7 @@ class ServeDaemon:
                     {
                         "n_docs": daemon.server.n_docs,
                         "avgdl": daemon.server.avgdl,
+                        "workers": daemon.workers,
                         "lru_hits": hits,
                         "lru_misses": misses,
                         "lru_hit_rate": round(hits / (hits + misses), 4)
@@ -200,11 +242,16 @@ class ServeDaemon:
                             )
                         mode = req.get("mode", "OR")
                         slop = int(req.get("slop", 8))
-                        records = daemon._results.get_or_compute(
-                            (qt, lang, k, mode, slop),
-                            lambda: daemon.server.search(
+                        if daemon._pool is not None:
+                            compute = lambda: daemon._pool.submit(  # noqa: E731
+                                _worker_search, qt, lang, k, mode, slop
+                            ).result()
+                        else:
+                            compute = lambda: daemon.server.search(  # noqa: E731
                                 qt, lang, k, mode, slop=slop
-                            ).to_dict(orient="records"),
+                            ).to_dict(orient="records")
+                        records = daemon._results.get_or_compute(
+                            (qt, lang, k, mode, slop), compute
                         )
                     elif self.path == "/search_batch":
                         # batch is the bulk surface; callers vary payloads,
@@ -259,6 +306,8 @@ class ServeDaemon:
         if self._thread is not None:
             self._thread.join(timeout=10)
         self._httpd.server_close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
 
     def latency_summary(self) -> dict:
         """p50/p99 over the trailing latency window (bounded deque), plus
@@ -274,7 +323,8 @@ class ServeDaemon:
 
 
 def main(argv: list[str]) -> None:
-    """``python -m horus_ner_spark.daemon <index_dir> [port] [--host H]``.
+    """``python -m horus_ner_spark.daemon <index_dir> [port] [--host H]
+    [--workers N]``.
 
     Binds loopback by default — the daemon is unauthenticated, so exposing
     it must be an explicit operator decision (``--host 0.0.0.0``), never
@@ -285,9 +335,14 @@ def main(argv: list[str]) -> None:
         i = rest.index("--host")
         host = rest[i + 1]
         del rest[i : i + 2]
+    workers = 0
+    if "--workers" in rest:
+        i = rest.index("--workers")
+        workers = int(rest[i + 1])
+        del rest[i : i + 2]
     index_dir = rest[0]
     port = int(rest[1]) if len(rest) > 1 else 8765
-    d = ServeDaemon(index_dir, host=host, port=port).start()
+    d = ServeDaemon(index_dir, host=host, port=port, workers=workers).start()
     print(f"serving {index_dir} on {host}:{d.port}", flush=True)
     try:
         while True:

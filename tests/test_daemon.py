@@ -171,6 +171,71 @@ def test_submit_job_serve_subcommand(spark, sf001_index):
         proc.wait(timeout=15)
 
 
+def test_daemon_worker_pool_matches_inprocess(spark, sf001_index):
+    """Round-4 serving scale-out: ``workers=N`` scores cache-missing
+    /search requests on spawn-context worker processes (one IndexServer
+    per worker, own GIL) — results must be byte-identical to the
+    in-process kernel across modes, concurrent DISTINCT queries must all
+    be served, and the request cache still works in front of the pool."""
+    import threading
+
+    _cp, paths = sf001_index
+    pooled = ServeDaemon(paths.root, workers=2).start()
+    inproc = ServeDaemon(paths.root).start()
+    try:
+        probes = [
+            {"query_text": q["query_text"], "lang": q["lang"], "k": q["k"]}
+            for q in query_set()[:3]
+        ] + [
+            {"query_text": "parse_config", "lang": "python", "k": 5,
+             "mode": "PHRASE"},
+            {"query_text": "parse config", "lang": "python", "k": 5,
+             "mode": "NEAR", "slop": 4},
+        ]
+        for probe in probes:
+            code_p, got = _post(pooled.port, "/search", probe)
+            code_i, want = _post(inproc.port, "/search", probe)
+            assert code_p == code_i == 200
+            assert got["results"] == want["results"]
+
+        # concurrent DISTINCT keys: no single-flight coalescing applies,
+        # so every request is a real kernel pass — the pool must serve
+        # all of them (in-process these serialize on the GIL)
+        distinct = [
+            {"query_text": f"stream batch {w}", "lang": "python", "k": 3}
+            for w in ("iterator", "buffer", "codec", "merge",
+                      "window", "schema", "filter", "join")
+        ]
+        results, errs = [], []
+
+        def hit(p):
+            try:
+                results.append(_post(pooled.port, "/search", p))
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errs.append(exc)
+
+        threads = [threading.Thread(target=hit, args=(p,)) for p in distinct]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs and len(results) == len(distinct)
+        assert all(code == 200 for code, _ in results)
+
+        _code, stats = _get(pooled.port, "/stats")
+        assert stats["workers"] == 2
+        # errors still surface as client 400s, not worker crashes
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(pooled.port, "/search", {"query_text": "x", "k": 5,
+                                           "mode": "NOPE"})
+        assert exc.value.code == 400
+        _code, alive = _post(pooled.port, "/search", probes[0])
+        assert alive["results"]  is not None
+    finally:
+        pooled.shutdown()
+        inproc.shutdown()
+
+
 def test_daemon_rejects_oversized_k(spark, sf001_index):
     """k is part of the cache key AND the retained payload, so an
     unbounded client-chosen k would let one client pin gigabytes in the
