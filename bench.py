@@ -276,6 +276,20 @@ def main() -> None:
     }
     daemon.shutdown()
 
+    # cold-miss scale-out (round 4): every request a DISTINCT query, so the
+    # request cache can never hit — the regime where the GIL serializes the
+    # in-process kernel and ServeDaemon(workers=N) must win by scoring
+    # misses on spawn-context worker processes.  serve_pool_bench.py is the
+    # full experiment; this records the headline in-process vs pooled pair
+    # per round (same deterministic query list both configs).
+    from serve_pool_bench import distinct_queries, run_config
+
+    cold_qs = distinct_queries(128)
+    daemon_coldmiss = {str(w): run_config(paths.root, w, cold_qs)
+                       for w in (0, 8)}
+    timings["serve_coldmiss_inproc"] = daemon_coldmiss["0"]["wall_s"]
+    timings["serve_coldmiss_pool8"] = daemon_coldmiss["8"]["wall_s"]
+
     # compaction (round 3: per-(term,rb) parallel re-block, no tf shuffle):
     # merge the 100k-doc index with a fresh 10k-doc segment — the steady-
     # state background cost of the streaming tier design
@@ -334,6 +348,7 @@ def main() -> None:
         "daemon_http_p50_ms": round(daemon_lat["p50_ms"], 3),
         "daemon_http_p99_ms": round(daemon_lat["p99_ms"], 3),
         "daemon_concurrent32": daemon_conc,
+        "daemon_coldmiss_pool": daemon_coldmiss,
         "wand_decode": wand_decode,
         "build_stage_wall_s": stage_wall,
         "cpu_calib_s": {"start": calib_start, "end": cpu_calibration()},
