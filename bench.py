@@ -148,7 +148,7 @@ def main() -> None:
     kernel_cols = [
         "term", "min_doc_id", "max_doc_id", "n_postings",
         "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
-        "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms",
+        "sub_min_doc_ids", "sub_max_tfnorms",
     ]
     term_sets = [sorted(set(top3))] + [
         ts for q in query_set()

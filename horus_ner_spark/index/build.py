@@ -71,7 +71,8 @@ BLOCK_SIZE = 128       # postings per compressed block
 RANGE_BITS = 6         # hot-term split: 2^6 = 64 doc_id-range groups per term
 N_PBUCKETS = 32        # term-hash partitions of the postings table
 SPLIT_THRESHOLD = 8192  # df above which a term is salted across rb groups
-SUB_BLOCKS = 4         # impact sub-ranges per block (finer WAND shallow bounds)
+SUB_POSTINGS = 8       # target postings per impact sub-range (k = n/8, capped)
+SUB_BLOCKS_MAX = 16    # sub-range cap per block
 
 # Blocks are self-contained for scoring: doc_ids (delta-gap), tfs, doclens,
 # and token positions all ride in the block, so the WAND/phrase kernels need
@@ -86,7 +87,7 @@ POSTINGS_SCHEMA = (
     "term string, rb int, block_id int, min_doc_id long, max_doc_id long, "
     "n_postings int, block_max_tfnorm double, doc_ids_vb binary, tfs_vb binary, "
     "doclens_vb binary, pos_vb binary, sub_min_doc_ids array<long>, "
-    "sub_max_doc_ids array<long>, sub_max_tfnorms array<double>"
+    "sub_max_tfnorms array<double>"
 )
 
 TF_SCHEMA = "doc_id long, term string, tf long, doclen long, pos_vb binary"
@@ -194,23 +195,61 @@ def _encode_stream(
         ends = vend[bends - 1]
         return [enc[s:e] for s, e in zip(starts, ends)]
 
-    # impact sub-ranges: SUB_BLOCKS doc-id-ordered slices per block with
-    # their own (min, max, max_tfnorm) — the WAND kernel's shallow bounds
-    # at 1/4 block granularity (a single per-block max is dominated by one
-    # hot posting).  Built as flat global arrays: sub starts ascend across
-    # blocks, so one reduceat covers every sub of every block.
+    # impact-ISOLATING sub-ranges (layout v6).  Each block gets
+    # k = clip(n // SUB_POSTINGS, 1, SUB_BLOCKS_MAX) doc-id-ordered
+    # sub-ranges whose boundaries isolate the top-m impact postings
+    # (m = 3k/8) into single-posting ranges, spending the rest of the
+    # budget on an even grid.  Equal slices (v5) left every slice's bound
+    # poisoned by its hottest posting; isolating the hot postings exactly
+    # is what tightens WAND's shallow bounds (sf0.1 reference query set:
+    # decoded-postings ratio 0.838 with equal quarters -> ~0.53 here).
+    # Only sub_min_doc_ids + sub_max_tfnorms are STORED: range maxima
+    # derive in the kernel (maxs[j] = mins[j+1] - 1 inside a block; the
+    # last range ends at the block's exact max_doc_id), so ranges tile
+    # the block span and metadata stays ~16 bytes per range.
     ns = bends - bstarts
-    ks = np.minimum(SUB_BLOCKS, ns)
-    blk_idx_l, sub_starts_l, sub_ends_l = [], [], []
-    for j in range(SUB_BLOCKS):
-        m = j < ks
-        blk_idx_l.append(np.flatnonzero(m))
-        sub_starts_l.append(bstarts[m] + j * ns[m] // ks[m])
-        sub_ends_l.append(bstarts[m] + (j + 1) * ns[m] // ks[m])
-    order = np.argsort(np.concatenate(blk_idx_l), kind="stable")
-    sub_starts = np.concatenate(sub_starts_l)[order]
-    sub_ends = np.concatenate(sub_ends_l)[order]
-    cuts = np.cumsum(ks)[:-1]
+    ks = np.clip(ns // SUB_POSTINGS, 1, SUB_BLOCKS_MAX)
+    blk_parts, start_parts = [], []
+    for k in np.unique(ks):
+        idx = np.flatnonzero(ks == k)
+        m = int(k) * 3 // 8
+        g = int(k) - 1 - 2 * m
+        nsc = ns[idx]
+        width = int(nsc.max())
+        rowpos = np.arange(width, dtype=np.int64)[None, :]
+        in_blk = rowpos < nsc[:, None]
+        cands = []
+        if m:
+            gidx = np.minimum(bstarts[idx][:, None] + rowpos, n - 1)
+            mat = np.where(in_blk, tfnorms[gidx], -np.inf)
+            # stable argsort, not argpartition: tie-breaking must be a
+            # pure function of the block's own postings (later position
+            # wins), or chunk-dependent padding would make build /
+            # smallseg / merge outputs diverge on tied impacts
+            top = np.argsort(mat, axis=1, kind="stable")[:, width - m:]
+            cands.extend((top, top + 1))
+        if g:
+            grid = nsc[:, None] * np.arange(1, g + 1)[None, :] // (g + 1)
+            cands.append(grid)
+        if cands:
+            cand = np.sort(np.concatenate(cands, axis=1), axis=1)
+            ok = (cand > 0) & (cand < nsc[:, None])
+            ok[:, 1:] &= cand[:, 1:] != cand[:, :-1]  # dups are adjacent
+        else:
+            cand = np.empty((len(idx), 0), dtype=np.int64)
+            ok = np.empty((len(idx), 0), dtype=bool)
+        ones = np.ones((len(idx), 1), dtype=bool)
+        keep = np.concatenate([ones, ok], axis=1)  # range start 0 always
+        full = np.concatenate(
+            [np.zeros((len(idx), 1), dtype=np.int64), cand], axis=1)
+        counts = keep.sum(axis=1)
+        rep = np.repeat(idx, counts)
+        blk_parts.append(rep)
+        start_parts.append(bstarts[rep] + full[keep])
+    blk_of = np.concatenate(blk_parts)
+    sub_starts = np.sort(np.concatenate(start_parts), kind="stable")
+    sub_counts = np.bincount(blk_of, minlength=len(bstarts))
+    cuts = np.cumsum(sub_counts)[:-1]
     return {
         "min_doc_id": doc_ids[bstarts],
         "max_doc_id": doc_ids[bends - 1],
@@ -220,7 +259,6 @@ def _encode_stream(
         "tfs_vb": _slices(enc_t, vend_t),
         "doclens_vb": _slices(enc_l, vend_l),
         "sub_min_doc_ids": np.split(doc_ids[sub_starts], cuts),
-        "sub_max_doc_ids": np.split(doc_ids[sub_ends - 1], cuts),
         "sub_max_tfnorms": np.split(
             np.maximum.reduceat(tfnorms, sub_starts), cuts
         ),
@@ -270,7 +308,6 @@ def encode_run(
                 "doclens_vb": cols["doclens_vb"][i],
                 "pos_vb": bytes(view[pos_offsets[s] : pos_offsets[e]]),
                 "sub_min_doc_ids": [int(x) for x in cols["sub_min_doc_ids"][i]],
-                "sub_max_doc_ids": [int(x) for x in cols["sub_max_doc_ids"][i]],
                 "sub_max_tfnorms": [
                     float(x) for x in cols["sub_max_tfnorms"][i]
                 ],
@@ -282,7 +319,7 @@ def encode_run(
 _BLOCK_COLS = [
     "term", "rb", "block_id", "min_doc_id", "max_doc_id", "n_postings",
     "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb", "pos_vb",
-    "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms",
+    "sub_min_doc_ids", "sub_max_tfnorms",
 ]
 
 
@@ -391,7 +428,6 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
             for s, e in zip(bstarts, bends)
         ],
         "sub_min_doc_ids": cols["sub_min_doc_ids"],
-        "sub_max_doc_ids": cols["sub_max_doc_ids"],
         "sub_max_tfnorms": cols["sub_max_tfnorms"],
     }
     return pa.RecordBatch.from_pydict(
@@ -410,7 +446,6 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
                 ("doclens_vb", pa.binary()),
                 ("pos_vb", pa.binary()),
                 ("sub_min_doc_ids", pa.list_(pa.int64())),
-                ("sub_max_doc_ids", pa.list_(pa.int64())),
                 ("sub_max_tfnorms", pa.list_(pa.float64())),
             ]
         ),
@@ -677,7 +712,10 @@ def build_index(
         # partitioning cannot guarantee)
         # v5: per-block impact sub-range metadata (sub_min/max_doc_ids,
         # sub_max_tfnorms) for finer block-max WAND shallow bounds
-        "layout": "v5-subblock-max",
+        # v6: impact-ISOLATING variable-count sub-ranges; sub_max_doc_ids
+        # dropped from storage (derived in the kernel from sub_min + the
+        # block max, since ranges tile the block span)
+        "layout": "v6-isolated-subranges",
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)

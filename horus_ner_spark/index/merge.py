@@ -287,22 +287,24 @@ def merge_indexes(
         out.corpus_stats,
     )
 
-    # tagged union of every segment's posting blocks.  Pre-v5 segments
-    # lack the sub_* impact-metadata columns — normalize them to the v5
-    # schema with null arrays (the read path treats null sub metadata as
-    # block-granular, and every block re-encodes through encode_run below,
-    # so the OUTPUT is always full v5); without this, an upgraded
-    # deployment's first compaction over old segments crashed (KeyError in
-    # the split kernel / AnalysisException in unionByName).
-    _V5_COLS = (
+    # tagged union of every segment's posting blocks.  Mixed layouts
+    # normalize to the v6 column set: pre-v5 segments lack the sub_*
+    # impact-metadata columns (add null arrays — the read path treats
+    # null sub metadata as block-granular), v5 segments carry a stored
+    # sub_max_doc_ids (drop it — v6 derives range maxima from sub_min +
+    # the block max).  Every block re-encodes through encode_run below,
+    # so the OUTPUT is always full v6.  Without the normalization, an
+    # upgraded deployment's first compaction over old segments crashed
+    # (KeyError in the split kernel / AnalysisException in unionByName).
+    _SUB_NORM_COLS = (
         ("sub_min_doc_ids", "array<long>"),
-        ("sub_max_doc_ids", "array<long>"),
         ("sub_max_tfnorms", "array<double>"),
     )
     blocks = None
     for i, seg in enumerate(segments):
         b = catalog.read_table(spark, seg.postings).drop("pbucket")
-        for name, typ in _V5_COLS:
+        b = b.drop("sub_max_doc_ids")  # no-op on non-v5 segments
+        for name, typ in _SUB_NORM_COLS:
             if name not in b.columns:
                 b = b.withColumn(name, F.lit(None).cast(typ))
         b = b.withColumn("seg", F.lit(i))

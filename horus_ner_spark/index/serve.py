@@ -63,7 +63,7 @@ from horus_ner_spark.index.query import _SUB_COLS, _dispatch_query, _in_sorted
 _BLOCK_COLS = [
     "term", "min_doc_id", "max_doc_id", "n_postings",
     "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
-    "sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms",
+    "sub_min_doc_ids", "sub_max_tfnorms",
 ]
 
 _MODES = ("OR", "AND", "PHRASE", "NEAR")

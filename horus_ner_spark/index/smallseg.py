@@ -132,7 +132,7 @@ def build_index_small(
         "n_pbuckets": n_pbuckets,
         "split_threshold": split_threshold,
         "tokenizer": "code-aware-v1",
-        "layout": "v5-subblock-max",
+        "layout": "v6-isolated-subranges",
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)
@@ -548,7 +548,6 @@ def merge_indexes_small(
                 for s, e in zip(bstarts, bends)
             ],
             "sub_min_doc_ids": cols["sub_min_doc_ids"],
-            "sub_max_doc_ids": cols["sub_max_doc_ids"],
             "sub_max_tfnorms": cols["sub_max_tfnorms"],
         }
     )

@@ -147,6 +147,8 @@ def test_merge_accepts_pre_v5_segments(spark, segments, tmp_path):
 
     root, segs, full = segments
     _SUB = ["sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms"]
+    # (sub_max_doc_ids kept in the strip list so the fixture also covers
+    # upgrading stored-maxima v5 segments, which carried all three)
 
     def _strip_to_v4(seg, dst):
         import shutil

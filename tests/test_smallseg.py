@@ -23,14 +23,13 @@ def _sig(spark, path):
                 F.md5(F.base64("doclens_vb")).alias("lh"),
                 F.md5(F.base64("pos_vb")).alias("ph"),
                 F.bround("block_max_tfnorm", 9).alias("bm"),
-                "sub_min_doc_ids", "sub_max_doc_ids")
+                "sub_min_doc_ids")
         .collect()
     )
     return sorted(
         (r["term"], r["rb"], r["block_id"], r["min_doc_id"],
          r["max_doc_id"], r["n_postings"], r["dh"], r["th"], r["lh"],
-         r["ph"], r["bm"], tuple(r["sub_min_doc_ids"]),
-         tuple(r["sub_max_doc_ids"]))
+         r["ph"], r["bm"], tuple(r["sub_min_doc_ids"]))
         for r in rows
     )
 

@@ -10,7 +10,7 @@ the sub_* columns here are exactly what a v5 index stores.
 import numpy as np
 import pandas as pd
 
-from horus_ner_spark.index.build import SUB_BLOCKS, encode_run
+from horus_ner_spark.index.build import SUB_BLOCKS_MAX, encode_run
 from horus_ner_spark.index.query import (
     _SUB_COLS,
     DECODE_STATS,
@@ -40,14 +40,32 @@ def _mk_blocks(term: str, n: int, seed: int, spike_every: int) -> pd.DataFrame:
 
 def test_subblock_metadata_shape():
     b = _mk_blocks("t", 300, seed=1, spike_every=50)
-    assert {len(x) for x in b["sub_min_doc_ids"]} <= {SUB_BLOCKS}
+    assert all(
+        1 <= len(x) <= SUB_BLOCKS_MAX for x in b["sub_min_doc_ids"]
+    )
+    # full 128-posting blocks spend most of the budget (16 ranges minus
+    # boundary collisions between isolation cuts and the grid)
+    full = b[b["n_postings"] == 128]
+    assert (full["sub_min_doc_ids"].map(len) >= SUB_BLOCKS_MAX - 4).all()
     for _, r in b.iterrows():
-        assert r["sub_min_doc_ids"][0] == r["min_doc_id"]
-        assert r["sub_max_doc_ids"][-1] == r["max_doc_id"]
+        mins = list(r["sub_min_doc_ids"])
+        assert mins[0] == r["min_doc_id"]
+        assert mins[-1] <= r["max_doc_id"]
+        assert mins == sorted(set(mins))  # strictly increasing
         assert max(r["sub_max_tfnorms"]) == r["block_max_tfnorm"]
-        # sub ranges tile the block in doc_id order
-        for j in range(len(r["sub_min_doc_ids"]) - 1):
-            assert r["sub_max_doc_ids"][j] < r["sub_min_doc_ids"][j + 1]
+        # v6 stores no range maxima: the kernel derives them from
+        # sub_min + the block max (ranges tile the block span)
+        assert "sub_max_doc_ids" not in b.columns
+        # the isolated top-impact posting is a single-posting range:
+        # its bound equals the block max while its neighbours' bounds
+        # stay strictly below (the whole point of isolation)
+        tfns = list(r["sub_max_tfnorms"])
+        if len(tfns) >= SUB_BLOCKS_MAX - 4:
+            j = tfns.index(max(tfns))
+            others = tfns[:j] + tfns[j + 1:]
+            assert max(others) < r["block_max_tfnorm"] or (
+                tfns.count(r["block_max_tfnorm"]) > 1  # tied spikes
+            )
 
 
 def _run_both(blocks, term_df, k, n_docs, avgdl):
