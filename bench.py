@@ -54,6 +54,63 @@ def cpu_calibration() -> float:
     return round(_t.perf_counter() - t0, 4)
 
 
+def measure_wand_decode(spark, paths, server) -> dict:
+    """Decoded-postings counters over the reference query set + the hot
+    3-term query: sub-range metadata vs block-granular metadata.  (The hot
+    3-term OR alone is skip-hostile — every posting competes for the same
+    low threshold — so the full set is the honest skip-rate measurement.)
+    Shared by bench.py (per-round record) and decode_ratio_bench.py."""
+    from horus_ner_spark.corpus import query_set
+    from horus_ner_spark.functions.tokenizer import tokenize
+    from horus_ner_spark.index.query import (
+        _SUB_COLS,
+        _wand_one_query,
+        DECODE_STATS,
+        read_corpus_stats,
+    )
+
+    stats_row = read_corpus_stats(paths)
+    n_docs_i, avgdl_f = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    kernel_cols = [
+        "term", "min_doc_id", "max_doc_id", "n_postings",
+        "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+        "sub_min_doc_ids", "sub_max_tfnorms",
+    ]
+    top3 = [
+        r["term"]
+        for r in spark.read.parquet(paths.term_stats)
+        .orderBy("df", ascending=False)
+        .limit(3)
+        .collect()
+    ]
+    term_sets = [sorted(set(top3))] + [
+        ts for q in query_set()
+        if (ts := sorted(set(tokenize(q["query_text"], q.get("lang", "python")))))
+    ]
+    total_post = dec_sub = dec_blk = 0
+    for terms in term_sets:
+        dfs, blocks = server._fetch(terms, kernel_cols)
+        tb = {t: blocks[blocks["term"] == t]
+              for t in terms if (blocks["term"] == t).any()}
+        if not tb:
+            continue
+        total_post += sum(int(b["n_postings"].sum()) for b in tb.values())
+        DECODE_STATS.update(blocks=0, postings=0)
+        _wand_one_query(tb, dfs, 10, n_docs_i, avgdl_f)
+        dec_sub += DECODE_STATS["postings"]
+        stripped = {t: b.drop(columns=list(_SUB_COLS)) for t, b in tb.items()}
+        DECODE_STATS.update(blocks=0, postings=0)
+        _wand_one_query(stripped, dfs, 10, n_docs_i, avgdl_f)
+        dec_blk += DECODE_STATS["postings"]
+    return {
+        "total_postings": total_post,
+        "decoded_subblock": dec_sub,
+        "decoded_blockmax": dec_blk,
+        "ratio_subblock": round(dec_sub / total_post, 4) if total_post else None,
+        "ratio_blockmax": round(dec_blk / total_post, 4) if total_post else None,
+    }
+
+
 def main() -> None:
     from horus_ner_spark.corpus import n_docs_for_sf, query_set, write_corpus
     from horus_ner_spark.index.build import build_index
@@ -130,52 +187,9 @@ def main() -> None:
     single_task.search(hot_q, "python", k=10, mode="NEAR", slop=8)
     timings["serve_near_hot_1task"] = round(time.perf_counter() - t0, 3)
 
-    # WAND skip efficiency (round 4): decoded-postings ratio AGGREGATED
-    # over the reference query set + the hot 3-term query, sub-block
-    # metadata vs block-granular metadata.  (The hot 3-term OR alone is
-    # skip-hostile — every posting competes for the same low threshold —
-    # so the full set is the honest skip-rate measurement.)
-    from horus_ner_spark.functions.tokenizer import tokenize
-    from horus_ner_spark.index.query import (
-        _SUB_COLS,
-        _wand_one_query,
-        DECODE_STATS,
-        read_corpus_stats,
-    )
-
-    stats_row = read_corpus_stats(paths)
-    n_docs_i, avgdl_f = int(stats_row["n_docs"]), float(stats_row["avgdl"])
-    kernel_cols = [
-        "term", "min_doc_id", "max_doc_id", "n_postings",
-        "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
-        "sub_min_doc_ids", "sub_max_tfnorms",
-    ]
-    term_sets = [sorted(set(top3))] + [
-        ts for q in query_set()
-        if (ts := sorted(set(tokenize(q["query_text"], q.get("lang", "python")))))
-    ]
-    total_post = dec_sub = dec_blk = 0
-    for terms in term_sets:
-        dfs, blocks = server._fetch(terms, kernel_cols)
-        tb = {t: blocks[blocks["term"] == t]
-              for t in terms if (blocks["term"] == t).any()}
-        if not tb:
-            continue
-        total_post += sum(int(b["n_postings"].sum()) for b in tb.values())
-        DECODE_STATS.update(blocks=0, postings=0)
-        _wand_one_query(tb, dfs, 10, n_docs_i, avgdl_f)
-        dec_sub += DECODE_STATS["postings"]
-        stripped = {t: b.drop(columns=list(_SUB_COLS)) for t, b in tb.items()}
-        DECODE_STATS.update(blocks=0, postings=0)
-        _wand_one_query(stripped, dfs, 10, n_docs_i, avgdl_f)
-        dec_blk += DECODE_STATS["postings"]
-    wand_decode = {
-        "total_postings": total_post,
-        "decoded_subblock": dec_sub,
-        "decoded_blockmax": dec_blk,
-        "ratio_subblock": round(dec_sub / total_post, 4),
-        "ratio_blockmax": round(dec_blk / total_post, 4),
-    }
+    # WAND skip efficiency (round 4): decoded-postings ratio over the
+    # reference query set + the hot 3-term query (measure_wand_decode)
+    wand_decode = measure_wand_decode(spark, paths, server)
 
     # partition-parallel single-query scoring (the mega-query scale path)
     from horus_ner_spark.index.query import bm25_distributed

@@ -172,6 +172,22 @@ def _encode_stream(
     from horus_ner_spark.index.codec import _SIGN_FLIP, vb_encode
 
     n = len(doc_ids)
+    if n == 0:
+        # empty run (e.g. prune with keep_fraction=0 dropping a whole
+        # term): return empty columns so encode_run yields no blocks —
+        # the v6 sub-range concatenation below requires >=1 block
+        e64 = np.empty(0, dtype=np.int64)
+        return {
+            "min_doc_id": e64,
+            "max_doc_id": e64,
+            "n_postings": e64,
+            "block_max_tfnorm": np.empty(0, dtype=np.float64),
+            "doc_ids_vb": [],
+            "tfs_vb": [],
+            "doclens_vb": [],
+            "sub_min_doc_ids": [],
+            "sub_max_tfnorms": [],
+        }
     tfnorms = tfs * (bm25.K1 + 1.0) / (
         tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * doclens.astype(np.float64) / avgdl)
     )

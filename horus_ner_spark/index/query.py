@@ -289,8 +289,13 @@ class _TermIter:
             return self.cur
         self.pending = False
         target = self.cur
-        # the pending range's max_doc_id >= target and every metadata max
-        # is a real posting, so the block holds a doc >= target
+        # in-bounds invariant (v6 derived maxima are NOT postings): the
+        # pending range's max >= target, and a range's max never exceeds
+        # its block's LAST real posting — an inner range's max is
+        # mins[j+1]-1 where mins[j+1] is a real posting in the SAME
+        # block, and the block-last range's max is the exact block max.
+        # Hence this block holds a real doc >= target and searchsorted
+        # cannot run past the decoded array
         self._decode(int(self.blk_of[self.bi]))
         pos = int(np.searchsorted(self.docs, target, side="left"))
         self.pos = pos

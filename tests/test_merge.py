@@ -136,10 +136,11 @@ def test_merge_associative_and_idempotent(spark, segments):
 
 
 def test_merge_accepts_pre_v5_segments(spark, segments, tmp_path):
-    """Upgrade path: segments built before layout v5 (no sub_* impact
-    metadata columns) must merge — both an all-v4 set and a mixed v4/v5
-    set — producing output byte-identical to the all-v5 merge (every block
-    re-encodes through encode_run, so the merged index is full v5)."""
+    """Upgrade path: older-layout segments must merge cleanly — an all-v4
+    set (no sub_* impact metadata), and a mixed v4 / true-v5 (stored
+    sub_max_doc_ids) / v6 set — producing output byte-identical to the
+    all-v6 merge (every block re-encodes through encode_run, so the
+    merged index is always full v6)."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
@@ -147,16 +148,13 @@ def test_merge_accepts_pre_v5_segments(spark, segments, tmp_path):
 
     root, segs, full = segments
     _SUB = ["sub_min_doc_ids", "sub_max_doc_ids", "sub_max_tfnorms"]
-    # (sub_max_doc_ids kept in the strip list so the fixture also covers
-    # upgrading stored-maxima v5 segments, which carried all three)
 
-    def _strip_to_v4(seg, dst):
+    def _rewrite_postings(seg, dst, transform):
         import shutil
 
         shutil.copytree(seg.root, dst)
         out = IndexPaths(dst)
-        t = pq.read_table(out.postings)
-        t = t.drop_columns([c for c in _SUB if c in t.column_names])
+        t = transform(pq.read_table(out.postings))
         shutil.rmtree(out.postings)
         # preserve the hive pbucket layout the reader expects
         pdf = t.to_pandas()
@@ -174,18 +172,48 @@ def test_merge_accepts_pre_v5_segments(spark, segments, tmp_path):
         open(f"{out.postings}/_SUCCESS", "w").close()
         return out
 
+    def _strip_to_v4(seg, dst):
+        return _rewrite_postings(
+            seg, dst,
+            lambda t: t.drop_columns(
+                [c for c in _SUB if c in t.column_names]
+            ),
+        )
+
+    def _to_v5(seg, dst):
+        # a TRUE v5 segment stored sub_max_doc_ids alongside the other
+        # sub_* columns; reconstruct it (maxs[j] = mins[j+1]-1, block-last
+        # range ends at max_doc_id — what v5 materialized) so the merge's
+        # drop-on-read normalization is exercised by a real input
+        def add_maxs(t):
+            pdf = t.to_pandas()
+            maxs = []
+            for mins, bmax in zip(
+                pdf["sub_min_doc_ids"], pdf["max_doc_id"]
+            ):
+                m = list(mins[1:] - 1) + [bmax]
+                maxs.append(m)
+            pdf["sub_max_doc_ids"] = maxs
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+
+        return _rewrite_postings(seg, dst, add_maxs)
+
     v4 = [
         _strip_to_v4(s, str(tmp_path / f"v4seg{i}"))
         for i, s in enumerate(segs)
     ]
     assert "sub_min_doc_ids" not in spark.read.parquet(v4[0].postings).columns
+    v5seg = _to_v5(segs[1], str(tmp_path / "v5seg1"))
+    assert "sub_max_doc_ids" in spark.read.parquet(v5seg.postings).columns
 
     ref_sig = _blocks_signature(spark, full)
     all_v4 = merge_indexes(spark, v4, str(tmp_path / "m_v4"))
     assert _blocks_signature(spark, all_v4) == ref_sig
     assert "sub_min_doc_ids" in spark.read.parquet(all_v4.postings).columns
+    # mixed v4 + true-v5 (stored maxima) + v6 — the full upgrade matrix
     mixed = merge_indexes(
-        spark, [v4[0], segs[1], v4[2]], str(tmp_path / "m_mix")
+        spark, [v4[0], v5seg, segs[2]], str(tmp_path / "m_mix")
     )
     assert _blocks_signature(spark, mixed) == ref_sig
+    assert "sub_max_doc_ids" not in spark.read.parquet(mixed.postings).columns
     assert _results(spark, mixed) == _results(spark, full)

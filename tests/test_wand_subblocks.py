@@ -1,10 +1,12 @@
-"""Layout v5 sub-block impact metadata: WAND stays rank-identical while
-decoding strictly fewer postings than with block-granular maxima alone
-(round-3 verdict #3 — impact-quantized block maxima).
+"""Layout v6 impact-isolating sub-range metadata: WAND stays
+rank-identical while decoding strictly fewer postings than with
+block-granular maxima alone (round-3 verdict #3, tightened in round 4 —
+variable-count ranges whose boundaries isolate the top-impact postings;
+range maxima are derived in the kernel, not stored).
 
 Pure-kernel test: posting blocks are synthesized through the real
 encode_run (the same function the build/merge/prune pipelines call), so
-the sub_* columns here are exactly what a v5 index stores.
+the sub_* columns here are exactly what a v6 index stores.
 """
 
 import numpy as np
@@ -36,6 +38,18 @@ def _mk_blocks(term: str, n: int, seed: int, spike_every: int) -> pd.DataFrame:
         b"", np.zeros(n + 1, dtype=np.int64), avgdl=200.0, block_size=128,
     )
     return pd.DataFrame(rows)
+
+
+def test_encode_run_empty_run_yields_no_blocks():
+    # an empty posting run (prune with keep_fraction=0 dropping a whole
+    # term) must yield zero blocks, not crash the v6 sub-range kernel's
+    # concatenation (regression: post-v6 review finding)
+    e = np.empty(0, dtype=np.int64)
+    rows = encode_run(
+        "gone", 0, e, e, e,
+        b"", np.zeros(1, dtype=np.int64), avgdl=200.0, block_size=128,
+    )
+    assert rows == []
 
 
 def test_subblock_metadata_shape():
