@@ -136,6 +136,12 @@ def main() -> None:
         and default.search(hot_q, "python", 10, "OR").equals(
             single.search(hot_q, "python", 10, "OR"))
     )
+    # WAND decoded-postings ratio at 8x data (layout v6 evidence): the
+    # same reference-query-set counters bench.py records at sf0.1
+    from bench import measure_wand_decode
+
+    out["wand_decode"] = measure_wand_decode(spark, paths, default)
+
     out["cpu_calib_end_s"] = cpu_calibration()
     print(json.dumps(out))
     spark.stop()
