@@ -35,14 +35,15 @@ def main() -> None:
 
     spark = get_spark("plans", cores=8, shuffle_partitions=8)
     work = "/tmp/horus_plans_ws"
-    if not os.path.exists(f"{work}/ix/postings.parquet/_SUCCESS"):
+    if not os.path.exists(f"{work}/corpus.parquet/_SUCCESS"):
         shutil.rmtree(work, ignore_errors=True)
         cp = write_corpus(spark, work, sf=0.001)
-        paths = build_index(spark, cp, f"{work}/ix")
     else:
-        from horus_ner_spark.index.build import IndexPaths
-
-        paths = IndexPaths(f"{work}/ix")
+        cp = f"{work}/corpus.parquet"
+    # always go through build_index: its manifest fingerprint resumes a
+    # current-layout index in <1 s and REBUILDS after a layout change —
+    # a raw _SUCCESS check once left v5-era plans in PLANS.md
+    paths = build_index(spark, cp, f"{work}/ix")
 
     sections = []
 
