@@ -99,7 +99,7 @@ class IndexServer:
                  split_threshold: int = SPLIT_THRESHOLD,
                  fanout_workers: int | None = None,
                  fanout_min_postings: int = FANOUT_MIN_POSTINGS,
-                 fan_modes: tuple = ("AND",)) -> None:
+                 fan_modes: tuple = ("AND", "OR")) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -185,11 +185,17 @@ class IndexServer:
         # calls are too small to amortize GIL handoffs, so a thread pool
         # CONVOYS — measured on a 3-hot-term NEAR over 800k docs with the
         # exhaustive-verify kernel: 5.2 s serial, 15.0 s at 4 threads,
-        # 76.1 s at 16 threads, vs 9.4 s unfanned.  Default fans ONLY
-        # "AND": since the phrase kernel gained score-ordered lazy
-        # verification, a single kernel stops after ~k verified matches
-        # globally, while fanning forces every bucket to verify its own
-        # top-k (measured 800-doc NEAR: 2.0 s single vs 8.3 s fanned).
+        # 76.1 s at 16 threads, vs 9.4 s unfanned.  Default fans "AND"
+        # and "OR" but NOT phrase/NEAR: since the phrase kernel gained
+        # score-ordered lazy verification, a single kernel stops after ~k
+        # verified matches globally, while fanning forces every bucket to
+        # verify its own top-k (measured 800-doc NEAR: 2.0 s single vs
+        # 8.3 s fanned).  OR joined the default with layout v6: theta0
+        # seeding carries the threshold across serially-visited buckets
+        # and the impact-isolated bounds make later buckets near-free
+        # (sf0.8 hot-3 OR, 5 alternating reps, stable calib window:
+        # fanned 0.575 s vs single-kernel 0.823 s; neutral at sf0.1 —
+        # on v5 metadata the same comparison was a wash, 0.91 vs 0.82).
         # Beyond-memory candidate sets belong to bm25_distributed, not the
         # in-process server.  fanout_workers=0 disables fanning entirely
         # (kept for differential tests); >1 re-enables the pool (for a
@@ -340,9 +346,10 @@ class IndexServer:
         exact partitioning of query._rb_fanout_distributed, so results
         are rank-identical to the single-task path (ranges partition the
         id space; per-range scores are complete) — run on a thread pool
-        over the blocks already fetched.  Everything else (OR; all-cold
-        conjunctions, whose candidate sets are tiny by definition) runs as
-        one in-process kernel call.  Round-3 verdict #1: the single-task
+        over the blocks already fetched.  Hot ORs fan the same way (the
+        serial visit carries theta0 across buckets).  Everything else
+        (all-cold queries, whose candidate sets are tiny by definition;
+        phrase/NEAR unless opted in) runs as one in-process kernel call.  Round-3 verdict #1: the single-task
         kernel was 29.2 s vs 4.4 s distributed on a 3-hot-term NEAR at
         sf0.8."""
         if (

@@ -171,6 +171,14 @@ def test_wand_doc_range_partitions_and_theta0_is_sound(spark, tmp_path):
 def test_serve_fanned_or_rank_identical(spark, tmp_path):
     from horus_ner_spark.index.serve import IndexServer
 
+    # hot ORs fan by DEFAULT since layout v6 (theta0 carried across
+    # serially-visited buckets; measured 1.4x at sf0.8, neutral at sf0.1)
+    import inspect
+
+    fan_default = inspect.signature(
+        IndexServer.__init__).parameters["fan_modes"].default
+    assert "OR" in fan_default and "AND" in fan_default
+
     cp, paths = _mixed_corpus(tmp_path, spark)
     ix = str(tmp_path / "ix")
     plain = IndexServer(ix, fanout_workers=0)
