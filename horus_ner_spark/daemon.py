@@ -210,6 +210,9 @@ class ServeDaemon:
                         "lru_hit_rate": round(hits / (hits + misses), 4)
                         if hits + misses
                         else 0.0,
+                        "decoded_hits": daemon.server.decoded_hits,
+                        "decoded_misses": daemon.server.decoded_misses,
+                        "decoded_postings": daemon.server._decoded_postings,
                         "result_cache_hits": daemon._results.hits,
                         "result_cache_misses": daemon._results.misses,
                         "result_cache_hit_rate": round(

@@ -401,10 +401,21 @@ def _exhaustive_one_query(
     require_all: int = 0,
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
+    decoded: dict | None = None,
 ) -> list[tuple[int, int, float]]:
     """Decode-all vectorized BM25 — same quantize-then-rank contract as WAND
     (terms processed in sorted order; per-doc contributions accumulate in
     that order via a stable sort), so results are rank-identical.
+
+    ``decoded`` (optional) is a per-term memo of the decode product,
+    term -> (docs int64, scores float64): entries present are used as-is
+    (they ARE a previous invocation's arrays — bit-identical by
+    construction, and never mutated downstream: every consumer copies via
+    concatenate), entries absent are computed and written back.  The
+    CALLER owns the dict and must only share it across calls whose
+    term frames are the FULL per-term block sets (IndexServer gates on
+    single-segment + no exclude; filters like exclude/doc_range apply
+    AFTER the memoized product, so they stay correct per call).
 
     ``require_all=n`` enables conjunctive (AND) semantics: only documents
     matched by exactly n query terms rank (each term contributes at most
@@ -422,13 +433,18 @@ def _exhaustive_one_query(
         b = term_blocks[t]
         if not len(b):
             continue
-        t_idf = bm25.idf(n_docs, term_df[t])
-        d, tf, dl, _bs = _decode_term_blocks(b)
-        tfn = tf * (bm25.K1 + 1.0) / (
-            tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
-        )
-        docs_l.append(d)
-        scores_l.append(t_idf * tfn)
+        memo = decoded.get(t) if decoded is not None else None
+        if memo is None:
+            t_idf = bm25.idf(n_docs, term_df[t])
+            d, tf, dl, _bs = _decode_term_blocks(b)
+            tfn = tf * (bm25.K1 + 1.0) / (
+                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl.astype(np.float64) / avgdl)
+            )
+            memo = (d, t_idf * tfn)
+            if decoded is not None:
+                decoded[t] = memo
+        docs_l.append(memo[0])
+        scores_l.append(memo[1])
     if not docs_l:
         return []
     docs = np.concatenate(docs_l)
@@ -762,6 +778,7 @@ def _score_one_query(
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
     theta0: float = -math.inf,
+    decoded: dict | None = None,
 ) -> list[tuple[int, int, float]]:
     """Hybrid dispatch: vectorized exhaustive below the postings threshold,
     block-max WAND above it.  Both obey the same determinism contract.
@@ -778,7 +795,7 @@ def _score_one_query(
     if total <= _EXHAUSTIVE_MAX_POSTINGS:
         return _exhaustive_one_query(
             term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
-            doc_range=doc_range,
+            doc_range=doc_range, decoded=decoded,
         )
     return _wand_one_query(
         term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
@@ -933,10 +950,12 @@ def _dispatch_query(
     doc_range: tuple[int, int] | None = None,
     slop: int = 0,
     theta0: float = -math.inf,
+    decoded: dict | None = None,
 ) -> list[tuple[int, int, float]]:
     """One mode dispatcher shared by bm25_wand, bm25_wand_segments and
     bm25_distributed (and mirrored by IndexServer), so a mode's semantics
-    live in one place."""
+    live in one place.  ``decoded`` feeds the exhaustive kernel's per-term
+    decode memo (OR/AND only; see _exhaustive_one_query's contract)."""
     if mode == "PHRASE":
         return _phrase_one_query(
             term_blocks, term_df, k, n_docs, avgdl, phrase or [],
@@ -957,11 +976,16 @@ def _dispatch_query(
     if mode == "AND":
         return _exhaustive_one_query(
             term_blocks, term_df, k, n_docs, avgdl, require_all=require_all,
-            exclude=exclude, doc_range=doc_range,
+            exclude=exclude, doc_range=doc_range, decoded=decoded,
         )
-    return (or_kernel or _score_one_query)(
+    if or_kernel is not None:
+        return or_kernel(
+            term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
+            doc_range=doc_range, theta0=theta0,
+        )
+    return _score_one_query(
         term_blocks, term_df, k, n_docs, avgdl, exclude=exclude,
-        doc_range=doc_range, theta0=theta0,
+        doc_range=doc_range, theta0=theta0, decoded=decoded,
     )
 
 

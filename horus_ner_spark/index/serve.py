@@ -99,7 +99,8 @@ class IndexServer:
                  split_threshold: int = SPLIT_THRESHOLD,
                  fanout_workers: int | None = None,
                  fanout_min_postings: int = FANOUT_MIN_POSTINGS,
-                 fan_modes: tuple = ("AND", "OR")) -> None:
+                 fan_modes: tuple = ("AND", "OR"),
+                 decoded_cache_postings: int = 16_000_000) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -216,6 +217,22 @@ class IndexServer:
         # stay OUTSIDE the lock — two threads may race to fetch the same
         # missing term (benign duplicate read), but never corrupt the dict
         self._cache_lock = threading.Lock()
+        # decoded-postings memo (term -> (docs, scores) int64/float64
+        # arrays, the exhaustive kernel's per-term decode product): warm
+        # DISTINCT queries sharing terms were vb_decode-bound (~60% of
+        # warm serving time at sf0.1 per cProfile — the term LRU above
+        # caches COMPRESSED frames, so every query re-decoded).  Budgeted
+        # in postings (16 B/posting across the two arrays; the default
+        # 16M ≈ 256 MB), LRU-evicted whole terms.  Entries are immutable
+        # by contract (kernels never write into them) and only populated
+        # for single-segment servers from FULL term frames — per-bucket
+        # fan-out subsets and per-segment subsets never touch the memo.
+        self._decoded: OrderedDict[str, tuple] = OrderedDict()
+        self._decoded_budget = decoded_cache_postings
+        self._decoded_postings = 0
+        self._decoded_lock = threading.Lock()
+        self.decoded_hits = 0
+        self.decoded_misses = 0
 
     def _load_terms(self, terms: list[str]) -> dict[str, tuple[int, pd.DataFrame]]:
         """term -> (df, blocks) for every term present in the index,
@@ -260,6 +277,8 @@ class IndexServer:
         just fetched, only for segments that have stale docs and only for
         blocks whose id range overlaps them) — giving exactly the merged
         index's df."""
+        if not terms:  # isin([]) trips an Arrow type error; empty is empty
+            return {}, pd.DataFrame(columns=[*cols, "seg"])
         buckets = sorted({term_bucket(t, self.n_pbuckets) for t in terms})
         cols = [
             c for c in cols
@@ -433,10 +452,41 @@ class IndexServer:
                 # buckets partition the doc-id space: plain disjoint merge
                 pooled.sort(key=lambda e: (-e[0], e[1]))
                 return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
-        return _dispatch_query(
+        decoded = None
+        if (
+            self._single_segment
+            and exclude is None
+            and mode in ("OR", "AND")
+            and self._decoded_budget > 0
+        ):
+            decoded = {}
+            with self._decoded_lock:
+                for t in term_blocks:
+                    memo = self._decoded.get(t)
+                    if memo is not None:
+                        self._decoded.move_to_end(t)
+                        decoded[t] = memo
+                        self.decoded_hits += 1
+                    else:
+                        self.decoded_misses += 1
+        res = _dispatch_query(
             term_blocks, term_df, k, self.n_docs, self.avgdl,
             mode, phrase, require_all, exclude=exclude, slop=slop,
+            decoded=decoded,
         )
+        if decoded:
+            with self._decoded_lock:
+                for t, memo in decoded.items():
+                    if t not in self._decoded:
+                        self._decoded[t] = memo
+                        self._decoded_postings += len(memo[0])
+                while (
+                    self._decoded_postings > self._decoded_budget
+                    and self._decoded
+                ):
+                    _t, (d, _s) = self._decoded.popitem(last=False)
+                    self._decoded_postings -= len(d)
+        return res
 
     def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0,
              slop=0):

@@ -258,6 +258,22 @@ def test_search_batch_phrase_and_mode_validation(spark, sf001_index):
         srv.search("stream", "python", k=5, mode="PHARSE")
 
 
+def test_fetch_empty_terms_returns_empty(spark, sf001_index):
+    """_fetch([]) must return empty results, not trip pyarrow's isin([])
+    type error (post-v6 review finding: every public caller guards, but
+    the private API should be total)."""
+    from horus_ner_spark.index.serve import _BLOCK_COLS
+
+    _corpus_path, paths = sf001_index
+    srv = IndexServer(paths.root)
+    dfs, blocks = srv._fetch([], _BLOCK_COLS)
+    assert dfs == {} and len(blocks) == 0
+    assert "seg" in blocks.columns
+    # the public empty-query path stays empty through every mode
+    for mode in ("OR", "AND", "PHRASE", "NEAR"):
+        assert len(srv.search("", "python", k=5, mode=mode)) == 0
+
+
 def test_serve_hot_conjunctive_fanout_rank_identical(spark, tmp_path):
     """Round-4: IndexServer fans hot AND/PHRASE/NEAR queries over doc-id
     range buckets (a thread pool over the blocks it fetched anyway) —
