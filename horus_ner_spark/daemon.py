@@ -213,6 +213,9 @@ class ServeDaemon:
                         "decoded_hits": daemon.server.decoded_hits,
                         "decoded_misses": daemon.server.decoded_misses,
                         "decoded_postings": daemon.server._decoded_postings,
+                        "decoded_pos_postings": (
+                            daemon.server._decoded_pos_postings
+                        ),
                         "result_cache_hits": daemon._results.hits,
                         "result_cache_misses": daemon._results.misses,
                         "result_cache_hit_rate": round(

@@ -507,16 +507,18 @@ def _near_window_match(pos_lists: list[np.ndarray], slop: int) -> bool:
 def _verify_candidates(
     cset: np.ndarray,
     tf_c: dict[str, np.ndarray],
-    decoded: dict[str, list],
+    term_flat: dict[str, tuple],
     distinct: list[str],
     phrase: list[str],
     slop: int,
-    offs_cache: dict[str, list] | None = None,
 ) -> np.ndarray:
     """Position-verify ONE candidate chunk: decode position streams for the
     chunk's docs only, then run the vectorized window (NEAR) or adjacency
     (PHRASE) check.  ``cset`` is doc_id-sorted; ``tf_c[t]`` is term t's tf
-    aligned with it.  Returns a bool match mask aligned with ``cset``.
+    aligned with it.  ``term_flat[t]`` is pass 1's flat per-term product
+    (d, tf, dl, pstart, pend, posbytes), doc-sorted with per-posting byte
+    offsets into one concatenated position stream.  Returns a bool match
+    mask aligned with ``cset``.
 
     Verification is ONE numpy pass over the chunk (round-3 verdict: the
     per-candidate Python loop was the hot-phrase scale ceiling).
@@ -525,45 +527,34 @@ def _verify_candidates(
     maxpos + slop + len(phrase), so no window or adjacency check can ever
     cross a candidate boundary, and one global check covers every doc.
 
-    The hit postings' position bytes are sliced out (``offs_cache`` holds
-    each block's slice offsets, computed once across chunks) and decoded
-    in ONE codec call per term — a per-hit decode loop here measured
-    85 us/posting and dominated the zero-match worst case."""
-    from horus_ner_spark.index.codec import pos_slice_offsets
-
+    The hit postings' position bytes are gathered raggedly in one numpy
+    pass per term and decoded in ONE codec call — the per-BLOCK loop this
+    replaces (62k searchsorted calls per hot-phrase query over ~3k blocks
+    per hot term) was 66% of warm phrase time, and a per-HIT decode loop
+    before it measured 85 us/posting."""
     n_c = len(cset)
     if slop > 0 and len(distinct) == 1:
         # every candidate has >= 1 occurrence: all match, no decode needed
         return np.ones(n_c, dtype=bool)
     pos_cat: dict[str, np.ndarray] = {}
     for t in distinct:
-        offs_t = (
-            offs_cache.setdefault(t, [None] * len(decoded[t]))
-            if offs_cache is not None
-            else [None] * len(decoded[t])
+        d, tf, _dl, pstart, pend, posbytes = term_flat[t]
+        p = np.minimum(np.searchsorted(d, cset), len(d) - 1)
+        hits = np.flatnonzero(d[p] == cset)  # ascending candidate indices
+        pidx = p[hits]
+        starts_h = pstart[pidx]
+        lens = pend[pidx] - starts_h
+        ends = np.cumsum(lens)
+        tot = int(ends[-1]) if len(ends) else 0
+        intra = (
+            np.arange(tot, dtype=np.int64) - np.repeat(ends - lens, lens)
         )
-        parts: list = []
-        tf_parts: list = []
-        ci_parts: list = []
-        for bj, (d, tf, _dl, pvb) in enumerate(decoded[t]):
-            p = np.minimum(np.searchsorted(cset, d), n_c - 1)
-            hits = np.flatnonzero(cset[p] == d)
-            if not len(hits):
-                continue
-            off = offs_t[bj]
-            if off is None:
-                off = offs_t[bj] = pos_slice_offsets(pvb, tf)
-            mv = memoryview(pvb)
-            parts.extend(mv[off[i] : off[i + 1]] for i in hits)
-            tf_parts.append(tf[hits])
-            ci_parts.append(p[hits])
-        tfh = np.concatenate(tf_parts)
-        cih = np.concatenate(ci_parts)
-        vals, starts = decode_positions(b"".join(parts), tfh)
-        slots: list = [None] * n_c
-        for j, c in enumerate(cih):
-            slots[c] = vals[starts[j] : starts[j + 1]]
-        pos_cat[t] = np.concatenate(slots)
+        buf = np.frombuffer(posbytes, dtype=np.uint8)
+        chunk = buf[np.repeat(starts_h, lens) + intra]
+        vals, _starts = decode_positions(chunk.tobytes(), tf[pidx])
+        # hits ascend and d is doc-sorted, so vals is already grouped in
+        # candidate order, tf_c[t][hits[j]] positions per hit j
+        pos_cat[t] = vals
     maxpos = max(int(p.max()) for p in pos_cat.values())
     L = np.int64(maxpos + max(slop, len(phrase)) + 2)
     epos = {
@@ -620,6 +611,7 @@ def _phrase_one_query(
     exclude: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
     slop: int = 0,
+    pos_memo: dict | None = None,
 ) -> list[tuple[int, int, float]]:
     """Exact-phrase / proximity top-k over the positional postings.
 
@@ -634,32 +626,51 @@ def _phrase_one_query(
     Reference motivation: multi-word compounds are the reference's unit of
     retrieval (src/core/feature_extraction/util.py:154-181 NP chunks are
     searched as a unit; util.py:623-712 emits compound rows first) — an
-    index without positions cannot answer them."""
+    index without positions cannot answer them.
+
+    ``pos_memo`` (optional) memoizes pass 1's per-term product,
+    term -> (d, tf, dl, pstart, pend, posbytes): postings doc-sorted, with
+    per-posting byte offsets into ONE concatenated position stream — the
+    flat shape lets verification run one searchsorted + one ragged gather
+    per term instead of a per-block loop.  Same caller contract as
+    _exhaustive_one_query's ``decoded``: only share it across calls whose
+    term frames are the FULL per-term block sets; exclude/doc_range apply
+    AFTER the memoized product.  Entries are never mutated."""
+    from horus_ner_spark.index.codec import pos_slice_offsets
+
     distinct = sorted(set(phrase))
     if not distinct:  # fully stoplisted/empty phrase matches nothing
         return []
     if any(t not in term_blocks or not len(term_blocks[t]) for t in distinct):
         return []
     # pass 1: decode doc ids only (cheap, one codec pass per term —
-    # _decode_term_blocks) and intersect — position streams stay encoded;
-    # a phrase of hot terms must not pay a full position decode for
-    # postings that can never match
-    decoded: dict[str, list] = {}
-    doc_cat: dict[str, np.ndarray] = {}
+    # _decode_term_blocks) and intersect — position VALUES stay encoded
+    # (pos_slice_offsets finds per-posting byte boundaries without
+    # decoding); a phrase of hot terms must not pay a full position
+    # decode for postings that can never match
+    term_flat: dict[str, tuple] = {}
     for t in distinct:
-        b = term_blocks[t]
-        d_all, tf_all, dl_all, bstarts = _decode_term_blocks(b)
-        bends = np.append(bstarts[1:], len(d_all))
-        decoded[t] = [
-            (
-                d_all[s:e], tf_all[s:e], dl_all[s:e], bytes(pvb)
-            )
-            for s, e, pvb in zip(bstarts, bends, b["pos_vb"])
-        ]
-        doc_cat[t] = d_all
+        memo = pos_memo.get(t) if pos_memo is not None else None
+        if memo is None:
+            b = term_blocks[t]
+            d_all, tf_all, dl_all, _bstarts = _decode_term_blocks(b)
+            posbytes = b"".join(b["pos_vb"])
+            offs = pos_slice_offsets(posbytes, tf_all)
+            pstart, pend = offs[:-1], offs[1:]
+            if len(d_all) > 1 and np.any(np.diff(d_all) < 0):
+                # frames out of doc order (no caller today violates the
+                # sorted-disjoint invariant, but it's the kernel's, not
+                # ours): permute postings; byte runs stay in place
+                o = np.argsort(d_all, kind="stable")
+                d_all, tf_all, dl_all = d_all[o], tf_all[o], dl_all[o]
+                pstart, pend = pstart[o], pend[o]
+            memo = (d_all, tf_all, dl_all, pstart, pend, posbytes)
+            if pos_memo is not None:
+                pos_memo[t] = memo
+        term_flat[t] = memo
     inter: np.ndarray | None = None
-    for t in sorted(distinct, key=lambda t: len(doc_cat[t])):
-        docs_t = np.sort(doc_cat[t])
+    for t in sorted(distinct, key=lambda t: len(term_flat[t][0])):
+        docs_t = term_flat[t][0]
         inter = (
             docs_t
             if inter is None
@@ -678,21 +689,15 @@ def _phrase_one_query(
 
     # pass 1.5: candidate-aligned tf/doclen gather (positions stay
     # encoded) — enough to score EVERY candidate before any position work.
+    # One searchsorted per term: every candidate is in every term's
+    # doc-sorted postings by construction (inter is the intersection).
     n_cand = len(inter)
     tf_a: dict[str, np.ndarray] = {}
     dl_a: dict[str, np.ndarray] = {}
     for t in distinct:
-        tfs_t = np.zeros(n_cand, dtype=np.int64)
-        dls_t = np.zeros(n_cand, dtype=np.int64)
-        for d, tf, dl, _pvb in decoded[t]:
-            p = np.minimum(np.searchsorted(inter, d), n_cand - 1)
-            hits = np.flatnonzero(inter[p] == d)
-            if not len(hits):
-                continue
-            ci = p[hits]
-            tfs_t[ci] = tf[hits]
-            dls_t[ci] = dl[hits]
-        tf_a[t], dl_a[t] = tfs_t, dls_t
+        d, tf, dl = term_flat[t][:3]
+        p = np.searchsorted(d, inter)
+        tf_a[t], dl_a[t] = tf[p], dl[p]
 
     # Score-ordered LAZY verification (round 4): position decode + the
     # window/adjacency check are the expensive part, and most candidates
@@ -736,7 +741,6 @@ def _phrase_one_query(
     verified: list[tuple[float, int]] = []  # (quantized score, doc_id)
     lo = 0
     step = max(4 * k, 1024)
-    offs_cache: dict[str, list] = {}  # per-block pos offsets, shared
     while lo < n_cand:
         take = order[lo:lo + step]
         lo += step
@@ -745,7 +749,7 @@ def _phrase_one_query(
         gidx = np.searchsorted(inter, cset)  # chunk slot -> global slot
         match = _verify_candidates(
             cset, {t: tf_a[t][gidx] for t in distinct},
-            decoded, distinct, phrase, slop, offs_cache=offs_cache,
+            term_flat, distinct, phrase, slop,
         )
         if match.any():
             mg = gidx[match]
@@ -951,15 +955,17 @@ def _dispatch_query(
     slop: int = 0,
     theta0: float = -math.inf,
     decoded: dict | None = None,
+    pos_memo: dict | None = None,
 ) -> list[tuple[int, int, float]]:
     """One mode dispatcher shared by bm25_wand, bm25_wand_segments and
     bm25_distributed (and mirrored by IndexServer), so a mode's semantics
     live in one place.  ``decoded`` feeds the exhaustive kernel's per-term
-    decode memo (OR/AND only; see _exhaustive_one_query's contract)."""
+    decode memo (OR/AND only); ``pos_memo`` feeds the phrase kernel's
+    pass-1 memo (PHRASE/NEAR only) — see each kernel's contract."""
     if mode == "PHRASE":
         return _phrase_one_query(
             term_blocks, term_df, k, n_docs, avgdl, phrase or [],
-            exclude=exclude, doc_range=doc_range,
+            exclude=exclude, doc_range=doc_range, pos_memo=pos_memo,
         )
     if mode == "NEAR":
         if slop < 1:
@@ -972,6 +978,7 @@ def _dispatch_query(
         return _phrase_one_query(
             term_blocks, term_df, k, n_docs, avgdl, phrase or [],
             exclude=exclude, doc_range=doc_range, slop=slop,
+            pos_memo=pos_memo,
         )
     if mode == "AND":
         return _exhaustive_one_query(

@@ -100,7 +100,8 @@ class IndexServer:
                  fanout_workers: int | None = None,
                  fanout_min_postings: int = FANOUT_MIN_POSTINGS,
                  fan_modes: tuple = ("AND", "OR"),
-                 decoded_cache_postings: int = 16_000_000) -> None:
+                 decoded_cache_postings: int = 16_000_000,
+                 pos_cache_postings: int = 8_000_000) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -233,6 +234,13 @@ class IndexServer:
         self._decoded_lock = threading.Lock()
         self.decoded_hits = 0
         self.decoded_misses = 0
+        # the phrase kernel's pass-1 memo (d/tf/dl, per-posting byte
+        # offsets, concatenated position bytes) under the same
+        # single-segment full-frame contract; ~40 B/posting of arrays plus
+        # the position bytes (the default 8M postings ≈ 350 MB worst-case)
+        self._decoded_pos: OrderedDict[str, tuple] = OrderedDict()
+        self._decoded_pos_budget = pos_cache_postings
+        self._decoded_pos_postings = 0
 
     def _load_terms(self, terms: list[str]) -> dict[str, tuple[int, pd.DataFrame]]:
         """term -> (df, blocks) for every term present in the index,
@@ -453,26 +461,34 @@ class IndexServer:
                 pooled.sort(key=lambda e: (-e[0], e[1]))
                 return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
         decoded = None
-        if (
-            self._single_segment
-            and exclude is None
-            and mode in ("OR", "AND")
-            and self._decoded_budget > 0
-        ):
-            decoded = {}
-            with self._decoded_lock:
-                for t in term_blocks:
-                    memo = self._decoded.get(t)
-                    if memo is not None:
-                        self._decoded.move_to_end(t)
-                        decoded[t] = memo
-                        self.decoded_hits += 1
-                    else:
-                        self.decoded_misses += 1
+        pos_memo = None
+        if self._single_segment and exclude is None:
+            if mode in ("OR", "AND") and self._decoded_budget > 0:
+                decoded = {}
+                with self._decoded_lock:
+                    for t in term_blocks:
+                        memo = self._decoded.get(t)
+                        if memo is not None:
+                            self._decoded.move_to_end(t)
+                            decoded[t] = memo
+                            self.decoded_hits += 1
+                        else:
+                            self.decoded_misses += 1
+            elif mode in ("PHRASE", "NEAR") and self._decoded_pos_budget > 0:
+                pos_memo = {}
+                with self._decoded_lock:
+                    for t in term_blocks:
+                        memo = self._decoded_pos.get(t)
+                        if memo is not None:
+                            self._decoded_pos.move_to_end(t)
+                            pos_memo[t] = memo
+                            self.decoded_hits += 1
+                        else:
+                            self.decoded_misses += 1
         res = _dispatch_query(
             term_blocks, term_df, k, self.n_docs, self.avgdl,
             mode, phrase, require_all, exclude=exclude, slop=slop,
-            decoded=decoded,
+            decoded=decoded, pos_memo=pos_memo,
         )
         if decoded:
             with self._decoded_lock:
@@ -486,6 +502,18 @@ class IndexServer:
                 ):
                     _t, (d, _s) = self._decoded.popitem(last=False)
                     self._decoded_postings -= len(d)
+        if pos_memo:
+            with self._decoded_lock:
+                for t, memo in pos_memo.items():
+                    if t not in self._decoded_pos:
+                        self._decoded_pos[t] = memo
+                        self._decoded_pos_postings += len(memo[0])
+                while (
+                    self._decoded_pos_postings > self._decoded_pos_budget
+                    and self._decoded_pos
+                ):
+                    _t, memo = self._decoded_pos.popitem(last=False)
+                    self._decoded_pos_postings -= len(memo[0])
         return res
 
     def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0,
