@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import numpy as np
 import pandas as pd
 
 # Sub-token extraction: one compiled regex splits identifiers in a single
@@ -143,6 +144,153 @@ def tokenize_series(texts: pd.Series, langs: pd.Series) -> pd.Series:
         [tokenize(t, l) for t, l in zip(texts, langs)],
         index=texts.index,
         dtype=object,
+    )
+
+
+# ── Arrow-vectorized batch tokenizer (the index build's hot kernel) ────────
+#
+# ``tokenize`` above is the semantic contract: pure Python, used by the
+# oracle, the query path, and every differential test.  The index build
+# tokenizes ~10^5 docs per Arrow batch, where the per-token Python loop is
+# 77% of the kernel's CPU (round-4 profile: 4.1 s of 5.3 s per 10k docs).
+# ``tokenize_arrow_batch`` produces EXACTLY the same tokens via pyarrow's
+# RE2/utf8 C++ kernels — Python never touches a token — and falls back to
+# ``tokenize`` per row for inputs the vectorized path does not cover
+# (non-ASCII content, which needs NFKD accent-stripping, and content with
+# ``&``, which needs HTML entity decoding).  Equality with ``tokenize`` is
+# asserted per-construct in tests/test_tokenizer.py goldens and by a
+# hypothesis differential over adversarial identifier shapes.
+#
+# The findall pattern ``[A-Z]+(?=[A-Z][a-z]) | [A-Z]?[a-z]+ | [A-Z]+ |
+# [0-9]+`` uses lookahead, which RE2 lacks; the equivalent without it is
+# boundary INSERTION — put a separator at every position findall would
+# split, then split on non-alphanumerics:
+#   acronym->Word   ([A-Z]+)([A-Z][a-z])  "HTMLParser" -> "HTML Parser"
+#   lower->Upper    ([a-z])([A-Z])        "parseJSON"  -> "parse JSON"
+#   digit->letter   ([0-9])([A-Za-z])     "2Fast"      -> "2 Fast"
+#   letter->digit   ([A-Za-z])([0-9])     "Fast2"      -> "Fast 2"
+# Leftmost non-overlapping replacement visits every boundary exactly once
+# (the consumed right-hand char can never start another boundary of the
+# same pass, and later passes catch the rest).
+
+_BOUNDARY_PASSES = (
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    (r"([a-z])([A-Z])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+)
+_SPLIT_PATTERN = r"[^A-Za-z0-9]+"
+
+
+def tokenize_arrow_batch(contents, langs):
+    """Vectorized ``tokenize`` over one Arrow batch.
+
+    Args: ``contents``/``langs`` — pa.Array (or ChunkedArray) of strings.
+    Returns ``(tokens, tok_doc, tok_pos, doc_lens)``:
+      tokens   pa.StringArray — filtered lowercase tokens, flat; each doc's
+               tokens contiguous and in document order (docs themselves may
+               be permuted across the flat stream — callers group by
+               ``tok_doc``, never by input order);
+      tok_doc  np.int64[n_tokens] — input row index of each token;
+      tok_pos  np.int64[n_tokens] — token position within its doc's
+               FILTERED stream (the position the phrase/NEAR kernels use);
+      doc_lens np.int64[n_rows]   — filtered token count per input row.
+    Per-row results equal ``tokenize(content, lang)`` exactly.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(contents, pa.ChunkedArray):
+        contents = contents.combine_chunks()
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    n = len(contents)
+    doc_lens = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pa.array([], type=pa.string()), doc_lens, doc_lens, doc_lens
+
+    fast = pc.fill_null(
+        pc.and_kleene(
+            pc.string_is_ascii(contents),
+            pc.invert(pc.match_substring(contents, "&")),
+        ),
+        False,  # null content -> slow path -> tokenize(None) == []
+    )
+    fast_np = fast.to_numpy(zero_copy_only=False).astype(bool)
+    lang_np = np.asarray(langs.to_pylist(), dtype=object)
+
+    tok_parts: list = []          # pa.StringArray per part
+    doc_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+
+    # fast rows, one fully-vectorized pass per distinct lang
+    fast_idx = np.flatnonzero(fast_np)
+    if fast_idx.size:
+        fast_langs = lang_np[fast_idx]
+        for lv in sorted({l for l in fast_langs}, key=lambda x: (x is None, x)):
+            idx = fast_idx[fast_langs == lv]
+            sub = contents.take(pa.array(idx, type=pa.int64()))
+            for pat, rep in _BOUNDARY_PASSES:
+                sub = pc.replace_substring_regex(sub, pat, rep)
+            lists = pc.split_pattern_regex(sub, _SPLIT_PATTERN)
+            offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # ascii_lower / binary_length, not utf8_*: rows here are ASCII
+            # by the fast-path gate, and the ascii kernels are ~10x faster
+            flat = pc.ascii_lower(pc.list_flatten(lists))
+            ln = pc.binary_length(flat)
+            keep = pc.and_(
+                pc.greater_equal(ln, _MIN_TOKEN_LEN),
+                pc.less_equal(ln, _MAX_TOKEN_LEN),
+            )
+            stop = STOPLISTS.get(lv or "", _EMPTY)
+            if stop:
+                keep = pc.and_(
+                    keep,
+                    pc.invert(
+                        pc.is_in(flat, value_set=pa.array(sorted(stop)))
+                    ),
+                )
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            counts_pre = np.diff(offsets)
+            tok_doc_local = np.repeat(idx, counts_pre)[keep_np]
+            kept = flat.filter(keep)
+            doc_lens += np.bincount(tok_doc_local, minlength=n)
+            # positions within each doc's filtered, contiguous run
+            m = tok_doc_local.size
+            if m:
+                seq = np.arange(m, dtype=np.int64)
+                run_start = np.concatenate(
+                    ([0], np.flatnonzero(tok_doc_local[1:] != tok_doc_local[:-1]) + 1)
+                )
+                run_lens = np.diff(np.append(run_start, m))
+                pos = seq - np.repeat(seq[run_start], run_lens)
+            else:
+                pos = np.empty(0, dtype=np.int64)
+            tok_parts.append(kept)
+            doc_parts.append(tok_doc_local)
+            pos_parts.append(pos)
+
+    # slow rows (non-ASCII / '&' / null): the reference Python path, per row
+    for i in np.flatnonzero(~fast_np):
+        toks = tokenize(contents[int(i)].as_py(), lang_np[i])
+        if not toks:
+            continue
+        doc_lens[i] = len(toks)
+        tok_parts.append(pa.array(toks, type=pa.string()))
+        doc_parts.append(np.full(len(toks), i, dtype=np.int64))
+        pos_parts.append(np.arange(len(toks), dtype=np.int64))
+
+    if not tok_parts:
+        e = np.empty(0, dtype=np.int64)
+        return pa.array([], type=pa.string()), e, e, doc_lens
+    tokens = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in tok_parts]
+    )
+    return (
+        tokens,
+        np.concatenate(doc_parts),
+        np.concatenate(pos_parts),
+        doc_lens,
     )
 
 

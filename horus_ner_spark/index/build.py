@@ -484,7 +484,7 @@ def _tokenize_tf_batches(batches):
     strings/bytes into a DataFrame."""
     import pyarrow as pa
 
-    from horus_ner_spark.functions.tokenizer import tokenize
+    from horus_ner_spark.functions.tokenizer import tokenize_arrow_batch
     from horus_ner_spark.index.codec import vb_encode
 
     schema = pa.schema(
@@ -500,25 +500,25 @@ def _tokenize_tf_batches(batches):
         doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        langs = rb.column(rb.schema.get_field_index("lang")).to_pylist()
-        contents = rb.column(rb.schema.get_field_index("content")).to_pylist()
-        toks_per_doc = [
-            tokenize(content, lang) for lang, content in zip(langs, contents)
-        ]
-        doc_lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-        all_toks = [t for toks in toks_per_doc for t in toks]
-        if not all_toks:
+        # Arrow-vectorized tokenize: RE2 boundary passes + C++ split/lower/
+        # filter; Python never touches a token (round-4 profile: the
+        # per-row tokenize() loop was 77% of this kernel's CPU).  Exact
+        # ``tokenize`` parity is the vectorizer's tested contract.
+        tokens, tok_doc, tok_pos, doc_lens = tokenize_arrow_batch(
+            rb.column(rb.schema.get_field_index("content")),
+            rb.column(rb.schema.get_field_index("lang")),
+        )
+        if len(tokens) == 0:
             yield pa.RecordBatch.from_pydict(
                 {f.name: [] for f in schema}, schema=schema
             )
             continue
-        codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
-        tok_doc = np.repeat(np.arange(len(doc_lens)), doc_lens)
-        # stable sort by (doc, code): token order within a doc is position
-        # order, so positions are ascending within each run with 2 keys
+        denc = tokens.dictionary_encode()  # C-level codes, one string/term
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary
+        # stable sort by (doc, code): tok_pos is ascending within a doc's
+        # token stream, so positions stay ascending within each run
         order = np.lexsort((codes, tok_doc))
-        doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
-        tok_pos = np.arange(len(codes)) - np.repeat(doc_starts, doc_lens)
         sdoc, scode, spos = tok_doc[order], codes[order], tok_pos[order]
         # (doc, term) run boundaries
         change = np.flatnonzero((sdoc[1:] != sdoc[:-1]) | (scode[1:] != scode[:-1])) + 1
@@ -537,8 +537,7 @@ def _tokenize_tf_batches(batches):
         run_bounds = np.cumsum(run_lens)
         run_off = np.concatenate(([0], vends[run_bounds - 1]))
         term_col = pa.DictionaryArray.from_arrays(
-            pa.array(scode[starts], type=pa.int32()),
-            pa.array(uniq, type=pa.string()),
+            pa.array(scode[starts], type=pa.int32()), uniq
         ).cast(pa.string())
         # pa.binary() carries int32 offsets; a batch's pos stream is bounded
         # by ~2 bytes/token * maxRecordsPerBatch docs * tokens/doc << 2 GiB.

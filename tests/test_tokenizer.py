@@ -87,3 +87,74 @@ def test_html_entity_decode():
     assert tokenize("&amp;lt;", None) == ["lt"]
     # entity-free text: byte-identical to the non-unescape path
     assert tokenize("parseConfig &x", None) == ["parse", "config"]
+
+
+# ── Arrow-vectorized batch tokenizer: exact parity with tokenize() ─────────
+
+
+def _arrow_per_doc(texts, langs):
+    """tokenize_arrow_batch -> per-input-row ordered token lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    from horus_ner_spark.functions.tokenizer import tokenize_arrow_batch
+
+    tokens, tok_doc, tok_pos, doc_lens = tokenize_arrow_batch(
+        pa.array(texts, type=pa.string()), pa.array(langs, type=pa.string())
+    )
+    toks = np.asarray(tokens.to_pylist(), dtype=object)
+    out = [[None] * int(doc_lens[i]) for i in range(len(texts))]
+    for t, d, p in zip(toks, tok_doc, tok_pos):
+        out[int(d)][int(p)] = t
+    return out
+
+
+def test_arrow_batch_matches_scalar_goldens():
+    texts = [
+        "HTMLParser parseJSON snake_case",   # camel/acronym/snake
+        "XMLHttpRequest2Json 2Fast2Furious",  # digit boundaries
+        "def return import config",          # stoplist
+        "ABCdEFGh aAbB x",                   # adversarial case runs
+        None,                                 # null -> []
+        "",                                  # empty -> []
+        "café résumé Naïve",  # non-ASCII -> slow path
+        "cats &amp; dogs A&amp;B",           # '&' -> slow path (unescape)
+        "a" * 70 + " okTok",                 # max-len gate
+    ]
+    langs = ["python", "js", "python", "c", "go", "java", None, None, "scala"]
+    got = _arrow_per_doc(texts, langs)
+    assert got == [tokenize(t, l) for t, l in zip(texts, langs)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=(
+                "abcDEF012_ &;#éü\t\n.xYzW"  # case runs, digits, seps, entities, unicode
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from(["python", "java", "go", None]),
+)
+def test_arrow_batch_differential(texts, lang):
+    langs = [lang] * len(texts)
+    assert _arrow_per_doc(texts, langs) == [tokenize(t, lang) for t in texts]
+
+
+def test_arrow_batch_mixed_langs_and_paths():
+    """Fast rows of several langs interleaved with slow rows: per-doc
+    streams stay intact and per-lang stoplists apply to the right rows."""
+    texts, langs = [], []
+    for i in range(50):
+        if i % 7 == 3:
+            texts.append(f"café{i} parseConfig getValue")  # slow path
+            langs.append("python")
+        else:
+            texts.append(f"def config{i} return funcName{i} import")
+            langs.append(["python", "java", "go"][i % 3])
+    got = _arrow_per_doc(texts, langs)
+    assert got == [tokenize(t, l) for t, l in zip(texts, langs)]
