@@ -52,7 +52,11 @@ def child(cores: int, corpus_path: str, index_dir: str) -> None:
     from horus_ner_spark.index.query import bm25_wand
     from horus_ner_spark.session import get_spark
 
-    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=cores)
+    # 4 reduce tasks per core (Spark's own tuning guidance: 2-3+ tasks per
+    # core so the scheduler can smooth stragglers), applied SYMMETRICALLY at
+    # both levels.  One wave (= cores) lets the single largest (term, rb)
+    # reduce partition gate the postings-stage wall at either level.
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=4 * cores)
     t0 = time.perf_counter()
     paths = build_index(spark, corpus_path, index_dir)
     build_s = time.perf_counter() - t0
