@@ -72,17 +72,26 @@ def json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json_export(spark, out, _FEATURE_SCHEMA)
 
 
-def html_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-decode (F7) as a pure Catalyst expression over an
-    entity-laden derivation of the documents table (the fixture text itself
-    carries no entities, so the entry wraps it deterministically)."""
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-decode (F7) + quote normalization (F8) as pure Catalyst
+    expressions, each over a deterministically entity-/quote-laden
+    derivation of the documents table (the fixture text itself carries
+    neither, so the wraps keep the check non-vacuous).  One entry, two
+    value-checked columns — consolidated from the round-4 pair
+    html_normalize_docs/quote_normalize_docs so every registry entry fits
+    the driver's 50-row CORRECTNESS cap (round-4 VERDICT item 1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wrapped = F.concat(
+    html_wrapped = F.concat(
         F.lit("&lt;p&gt; "), F.col("text"),
         F.lit(" &amp; tail &quot;q&quot; &#39;s &#x27;h &nbsp;end &amp;lt;"),
     )
+    quote_wrapped = F.concat(
+        F.lit("``q'' “c” „g“ ‘s’ ‚l‘ `b´ "), F.col("text")
+    )
     return docs.select(
-        "doc_id", html_unescape_expr(wrapped).alias("norm_text")
+        "doc_id",
+        html_unescape_expr(html_wrapped).alias("html_norm"),
+        quote_normalize_expr(quote_wrapped).alias("quote_norm"),
     )
 
 
@@ -91,30 +100,12 @@ _HTML_WRAP_SQL = (
     "' &amp; tail &quot;q&quot; &#39;s &#x27;h &nbsp;end &amp;lt;'"
 )
 
-HTML_NORMALIZE_SQL = f"""
-SELECT doc_id, {duckdb_unescape_sql(_HTML_WRAP_SQL)} AS norm_text
-FROM documents
-"""
-
-
-def quote_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quote normalization (F8) as a pure Catalyst expression, over a
-    quote-laden derivation of the documents table (nltk ``/'' forms plus
-    typographic variants wrapped around the fixture text — the fixture
-    itself carries none, so the wrap keeps the check non-vacuous)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    wrapped = F.concat(
-        F.lit("``q'' “c” „g“ ‘s’ ‚l‘ `b´ "), F.col("text")
-    )
-    return docs.select(
-        "doc_id", quote_normalize_expr(wrapped).alias("norm_text")
-    )
-
-
 _QUOTE_WRAP_SQL = "'``q'''' “c” „g“ ‘s’ ‚l‘ `b´ ' || text"
 
-QUOTE_NORMALIZE_SQL = f"""
-SELECT doc_id, {duckdb_quote_sql(_QUOTE_WRAP_SQL)} AS norm_text
+TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       {duckdb_unescape_sql(_HTML_WRAP_SQL)} AS html_norm,
+       {duckdb_quote_sql(_QUOTE_WRAP_SQL)} AS quote_norm
 FROM documents
 """
 
@@ -122,6 +113,5 @@ FROM documents
 ENTRIES: dict[str, tuple] = {
     "feature_csv_roundtrip": (feature_csv_roundtrip, _FEATURE_ORACLE_SQL),
     "json_export_roundtrip": (json_export_roundtrip, _FEATURE_ORACLE_SQL),
-    "html_normalize_docs": (html_normalize_docs, HTML_NORMALIZE_SQL),
-    "quote_normalize_docs": (quote_normalize_docs, QUOTE_NORMALIZE_SQL),
+    "text_normalize_docs": (text_normalize_docs, TEXT_NORMALIZE_SQL),
 }

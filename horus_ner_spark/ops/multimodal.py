@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,43 +81,74 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema="doc_id long, kind string, blob binary")
 
 
-def _parse_header(blob: bytes) -> tuple[int, int, int, int, int]:
-    if blob[:4] != _MAGIC:
-        raise ValueError("bad magic — not a HNSM blob")
-    return struct.unpack("<BIIHI", blob[4:19])
+_BLOB_LEN = 19 + 32  # header + md5*2 payload
+_MAGIC_U8 = np.frombuffer(_MAGIC, dtype=np.uint8)
 
 
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parse typed metadata out of the binary column (the 'decode header'
-    kernel).  Output: one struct-typed row per blob."""
+    """Parse typed metadata AND the per-blob feature stub out of the binary
+    column (the 'decode header + extract features' kernel), fully
+    vectorized: the batch's blobs are stacked into one (n, 51) uint8 matrix
+    and every field comes out of column-slice ``.view`` casts — no per-row
+    Python loop (round-4 VERDICT item 6).
+
+    The four feature dims f0..f3 stand in for SIFT/CNN features (reference:
+    sift.py:39-189); they are the little-endian u32 words of the payload
+    (``md5(doc_id) * 2``) normalized to [0,1], which DuckDB replicates via
+    ``md5_number_upper/lower`` — so the whole decode is value-checked."""
 
     def decode(batches):
         for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                kind_id, w, h, nf, sr = _parse_header(bytes(blob))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "kind": _KINDS[kind_id],
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf,
-                        "sample_rate": sr,
-                        "payload_bytes": len(blob) - 19,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            blobs = [bytes(b) for b in pdf["blob"]]
+            n = len(blobs)
+            if n == 0:
+                continue
+            if any(len(b) != _BLOB_LEN for b in blobs):
+                raise ValueError("variable-length HNSM blob in batch")
+            arr = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(
+                n, _BLOB_LEN
+            )
+            if not (arr[:, 0:4] == _MAGIC_U8).all():
+                raise ValueError("bad magic — not a HNSM blob")
+            kind_id = arr[:, 4]
+            width = arr[:, 5:9].copy().view("<u4").ravel()
+            height = arr[:, 9:13].copy().view("<u4").ravel()
+            n_frames = arr[:, 13:15].copy().view("<u2").ravel()
+            sample_rate = arr[:, 15:19].copy().view("<u4").ravel()
+            words = arr[:, 19:35].copy().view("<u4")  # (n, 4)
+            feats = np.round(words / np.float64(0xFFFFFFFF), 6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "kind": np.array(_KINDS, dtype=object)[kind_id],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "n_frames": n_frames.astype("int32"),
+                    "sample_rate": sample_rate.astype("int32"),
+                    "payload_bytes": np.full(n, _BLOB_LEN - 19, "int32"),
+                    "f0": feats[:, 0],
+                    "f1": feats[:, 1],
+                    "f2": feats[:, 2],
+                    "f3": feats[:, 3],
+                }
+            )
 
     return media_table(spark, sf_dir).mapInPandas(
         decode,
         schema=(
             "doc_id long, kind string, width int, height int, n_frames int, "
-            "sample_rate int, payload_bytes int"
+            "sample_rate int, payload_bytes int, "
+            "f0 double, f1 double, f2 double, f3 double"
         ),
     )
 
 
+# f0..f3: md5_number_upper = LE u64 of digest bytes 0..7, lower = bytes
+# 8..15; the LE u32 words are (upper % 2^32, upper >> 32, lower % 2^32,
+# lower >> 32), normalized by 2^32-1 and rounded to 6 dp.  A decimal
+# half-tie (round-half-even vs half-away divergence) is impossible: it would
+# need w * 2_000_000 ≡ 4294967295 (mod 2*4294967295), an even number equal
+# to an odd one.
 MM_DECODE_METADATA_SQL = """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -124,7 +156,11 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + doc_id % 61 END AS INT) AS height,
        CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 1 + doc_id % 24 END AS INT) AS n_frames,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + 100 * (doc_id % 81) ELSE 0 END AS INT) AS sample_rate,
-       32 AS payload_bytes
+       32 AS payload_bytes,
+       round((md5_number_upper(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f0,
+       round((md5_number_upper(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f1,
+       round((md5_number_lower(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f2,
+       round((md5_number_lower(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f3
 FROM documents
 """
 
@@ -184,61 +220,8 @@ FROM m WHERE kind = 'video'
 """
 
 
-def mm_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-blob feature extraction (stub): deterministic 4-dim 'embedding'
-    from the payload bytes — stands in for SIFT/CNN features (reference:
-    sift.py:39-189) with the identical mapInPandas batch shape.
-
-    The 4 dims are emitted as scalar columns ``f0..f3`` (not
-    ``array<double>``) so the driver's order-insensitive canonicalizer can
-    sort and hash the frame; the payload is ``md5(doc_id) * 2``, whose four
-    little-endian u32 words are SQL-replicable via DuckDB's
-    ``md5_number_upper/lower`` (little-endian u64 of digest halves)."""
-
-    def feats(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                payload = bytes(blob)[19:]
-                words = [
-                    int.from_bytes(payload[i : i + 4], "little")
-                    for i in range(0, 16, 4)
-                ]
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        **{
-                            f"f{j}": round(w / 0xFFFFFFFF, 6)
-                            for j, w in enumerate(words)
-                        },
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return media_table(spark, sf_dir).mapInPandas(
-        feats, schema="doc_id long, f0 double, f1 double, f2 double, f3 double"
-    )
-
-
-# md5_number_upper = LE u64 of digest bytes 0..7, lower = bytes 8..15;
-# f0..f3 are the LE u32 words of the digest, i.e. (upper % 2^32, upper >> 32,
-# lower % 2^32, lower >> 32), each normalized by 2^32-1 and rounded to 6 dp.
-# A decimal half-tie (where round-half-even vs half-away could differ) is
-# impossible: it would need w * 2_000_000 ≡ 4294967295 (mod 2*4294967295),
-# an even number equal to an odd one.
-MM_FEATURE_STUB_SQL = """
-SELECT doc_id,
-       round((md5_number_upper(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f0,
-       round((md5_number_upper(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f1,
-       round((md5_number_lower(CAST(doc_id AS VARCHAR)) % 4294967296) / 4294967295.0, 6) AS f2,
-       round((md5_number_lower(CAST(doc_id AS VARCHAR)) // 4294967296) / 4294967295.0, 6) AS f3
-FROM documents
-"""
-
-
 ENTRIES: dict[str, tuple] = {
     "mm_decode_metadata": (mm_decode_metadata, MM_DECODE_METADATA_SQL),
     "mm_resize_plan": (mm_resize_plan, MM_RESIZE_PLAN_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
-    "mm_feature_stub": (mm_feature_stub, MM_FEATURE_STUB_SQL),
 }

@@ -19,14 +19,18 @@ ALL_ENTRIES.update(engine_entries.ENTRIES)
 ALL_ENTRIES.update(io_entries.ENTRIES)
 ALL_ENTRIES.update(multimodal.ENTRIES)
 
-# The round-3 driver recorded CORRECTNESS rows for 50 of the 51 entries,
-# dropping the LAST one in iteration order (mm_feature_stub).  Keep every
-# first-class operator ahead of that cutoff by moving engine_bm25_brute_docs
-# — the one entry that is a pure differential twin (rank-identical to
-# engine_bm25_wand_docs by construction, asserted in tests/test_index_e2e.py
-# and tests/test_ops_catalog.py) — to the end of the registry.
-_LAST = "engine_bm25_brute_docs"
-ALL_ENTRIES[_LAST] = ALL_ENTRIES.pop(_LAST)
+# The driver records CORRECTNESS rows for at most 50 entries (rounds 3/4
+# dropped entries past that cap).  Round 5 consolidated the registry to
+# exactly 50 first-class entries (mm_feature_stub's f0..f3 folded into
+# mm_decode_metadata; html/quote normalize merged into text_normalize_docs)
+# so every operator — including the engine_bm25_brute_docs oracle twin —
+# emits a current-round row.  Guarded here so a future addition that would
+# silently fall past the cap fails loudly instead.
+_DRIVER_ROW_CAP = 50
+assert len(ALL_ENTRIES) <= _DRIVER_ROW_CAP, (
+    f"{len(ALL_ENTRIES)} registry entries exceed the driver's "
+    f"{_DRIVER_ROW_CAP}-row CORRECTNESS cap — consolidate before adding"
+)
 
 
 def queries():
