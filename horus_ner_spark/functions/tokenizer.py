@@ -75,6 +75,11 @@ STOPLISTS: dict[str, frozenset[str]] = {
 }
 _EMPTY: frozenset[str] = frozenset()
 
+# Per-lang Arrow value_set arrays for the batch kernel — built once on its
+# first call (pyarrow is imported lazily there) and reused, instead of a
+# fresh sort + pa.array() per batch x lang in the build's hot kernel.
+_STOPLIST_ARROW: dict[str, object] = {}
+
 _MIN_TOKEN_LEN = 2
 _MAX_TOKEN_LEN = 64
 
@@ -199,6 +204,10 @@ def tokenize_arrow_batch(contents, langs):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if not _STOPLIST_ARROW:
+        _STOPLIST_ARROW.update(
+            {k: pa.array(sorted(v)) for k, v in STOPLISTS.items()}
+        )
     if isinstance(contents, pa.ChunkedArray):
         contents = contents.combine_chunks()
     if isinstance(langs, pa.ChunkedArray):
@@ -241,13 +250,11 @@ def tokenize_arrow_batch(contents, langs):
                 pc.greater_equal(ln, _MIN_TOKEN_LEN),
                 pc.less_equal(ln, _MAX_TOKEN_LEN),
             )
-            stop = STOPLISTS.get(lv or "", _EMPTY)
-            if stop:
+            stop_arr = _STOPLIST_ARROW.get(lv or "")
+            if stop_arr is not None:
                 keep = pc.and_(
                     keep,
-                    pc.invert(
-                        pc.is_in(flat, value_set=pa.array(sorted(stop)))
-                    ),
+                    pc.invert(pc.is_in(flat, value_set=stop_arr)),
                 )
             keep_np = keep.to_numpy(zero_copy_only=False)
             counts_pre = np.diff(offsets)

@@ -42,10 +42,11 @@ def child(n: int) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) == 4 and sys.argv[1] == "--child":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]))
         return
-    lo, hi, reps = (int(x) for x in (sys.argv[1:4] or ["2", "8", "2"]))
+    argv = sys.argv[1:4]
+    lo, hi, reps = (int(a) for a in argv + ["2", "8", "2"][len(argv):])
     effs = []
     for r in range(reps):
         walls = {}

@@ -15,6 +15,9 @@ for r in range(reps):
         cmd = ["taskset", "-c", f"0-{cores-1}", sys.executable,
                "/root/repo/scaling_bench.py", "--run", str(cores), corpus, f"{work}/ix_{cores}"]
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            print(out.stderr[-4000:], flush=True)
+            raise RuntimeError(f"child run failed (cores={cores}, rc={out.returncode})")
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rec[cores] = json.loads(line)
         print(f"rep{r} {line}", flush=True)
