@@ -18,7 +18,11 @@ Endpoints (JSON over HTTP):
 
 - ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
   "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8} ->
-  {"results": [{rank, doc_id, score}], "latency_ms": float}
+  {"results": [{rank, doc_id, score}], "latency_ms": float}.
+  Alternatively {"q": '<freeform>', "k": 10} with the minimal query
+  syntax (``"exact phrase"``, ``a AND b``, ``a NEAR/3 b``,
+  ``lang:python`` — see index/qsyntax.py); parsed to the same enum
+  dispatch, rank-identical to the explicit form.
 - ``POST /search_batch``  {"queries": [{query_id, query_text, lang, k}]}
   -> {"results": [...], "latency_ms": float}
 - ``GET /stats`` -> corpus stats + served-query latency summary
@@ -39,6 +43,7 @@ import time
 from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from horus_ner_spark.index.qsyntax import parse_query
 from horus_ner_spark.index.serve import IndexServer
 
 # one IndexServer per worker process (set by _worker_init under the
@@ -238,16 +243,29 @@ class ServeDaemon:
                 t0 = time.monotonic()
                 try:
                     if self.path == "/search":
-                        qt = req.get("query_text", "")
-                        lang = req.get("lang", "python")
                         k = int(req.get("k", 10))
                         if not 1 <= k <= _MAX_K:
                             return self._reply(
                                 400,
                                 {"error": f"k must be in [1, {_MAX_K}]"},
                             )
-                        mode = req.get("mode", "OR")
-                        slop = int(req.get("slop", 8))
+                        if "q" in req:
+                            # freeform syntax ("phrase", AND, NEAR/3,
+                            # lang:) — parsed in the parent to the same
+                            # enum dispatch, so cache keys and worker
+                            # calls are identical to the explicit API
+                            p = parse_query(
+                                str(req["q"]),
+                                default_lang=req.get("lang", "python"),
+                                default_slop=int(req.get("slop", 8)),
+                            )
+                            qt, lang = p.query_text, p.lang
+                            mode, slop = p.mode, p.slop
+                        else:
+                            qt = req.get("query_text", "")
+                            lang = req.get("lang", "python")
+                            mode = req.get("mode", "OR")
+                            slop = int(req.get("slop", 8))
                         if daemon._pool is not None:
                             compute = lambda: daemon._pool.submit(  # noqa: E731
                                 _worker_search, qt, lang, k, mode, slop

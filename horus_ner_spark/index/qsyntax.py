@@ -1,0 +1,113 @@
+"""Minimal freeform query syntax for the serve surface.
+
+The reference's interactive surface accepts freeform text (reference:
+webservice/rest.py:47-61 — the annotate endpoint takes a raw sentence
+string); this engine's :meth:`IndexServer.search` takes an explicit
+``(query_text, mode, k, slop)`` enum API.  This module closes the gap
+with a deterministic, dependency-free parser from one query string to
+that enum dispatch — no new execution path, so parsed queries are
+rank-identical to the explicit-mode API by construction.
+
+Grammar (one operator family per query — mixing is a loud error, never a
+silent reinterpretation):
+
+- ``lang:python foo bar``   -> lang selector; may appear anywhere once.
+- ``"exact phrase"``        -> mode=PHRASE over the quoted text.
+- ``foo AND bar AND baz``   -> mode=AND (operators are UPPERCASE only:
+                               lowercase ``and`` is a plain term, so
+                               natural-language queries stay OR).
+- ``foo NEAR/3 bar``        -> mode=NEAR, slop=3 (``NEAR`` alone uses the
+                               caller's default slop).
+- anything else             -> mode=OR over the whitespace terms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_LANG_RE = re.compile(r"(?:^|\s)lang:([A-Za-z0-9_+-]+)(?=\s|$)")
+_NEAR_RE = re.compile(r"^NEAR(?:/(\d+))?$")
+_QUOTED_RE = re.compile(r'^"(.*)"$', re.S)
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    query_text: str
+    lang: str
+    mode: str
+    slop: int
+
+
+def parse_query(
+    text: str, default_lang: str = "python", default_slop: int = 8
+) -> ParsedQuery:
+    """Parse one freeform query string into the explicit-mode dispatch.
+
+    Raises ``ValueError`` on malformed input (empty query, mixed
+    operators, dangling operator, multiple ``lang:`` selectors, quoted
+    phrase mixed with bare terms) — the daemon maps that to HTTP 400.
+    """
+    if not isinstance(text, str):
+        raise ValueError("query must be a string")
+    lang = default_lang
+    langs = _LANG_RE.findall(text)
+    if len(langs) > 1:
+        raise ValueError("multiple lang: selectors")
+    if langs:
+        lang = langs[0]
+        text = _LANG_RE.sub(" ", text, count=1)
+    text = text.strip()
+    if not text:
+        raise ValueError("empty query")
+
+    m = _QUOTED_RE.match(text)
+    if m:
+        phrase = m.group(1).strip()
+        if not phrase:
+            raise ValueError("empty phrase")
+        if '"' in phrase:
+            raise ValueError("nested or unbalanced quotes")
+        return ParsedQuery(phrase, lang, "PHRASE", default_slop)
+    if '"' in text:
+        raise ValueError(
+            "quotes must wrap the whole query (phrase mode) — "
+            "mixing a phrase with bare terms is not supported"
+        )
+
+    toks = text.split()
+    ops = []          # ("AND", None) / ("NEAR", slop) at odd positions
+    terms = []
+    for i, t in enumerate(toks):
+        nm = _NEAR_RE.match(t)
+        if t == "AND" or nm:
+            if i % 2 != 1 or i == len(toks) - 1:
+                raise ValueError(f"dangling operator {t!r}")
+            ops.append(("NEAR", int(nm.group(1)) if nm and nm.group(1)
+                        else None) if nm else ("AND", None))
+        else:
+            if i % 2 == 1 and ops:
+                raise ValueError(
+                    "operators must separate every term "
+                    f"(got bare term {t!r} in operator position)"
+                )
+            terms.append(t)
+
+    if not ops:
+        return ParsedQuery(" ".join(terms), lang, "OR", default_slop)
+    if len(ops) != len(terms) - 1:
+        raise ValueError("operators must separate every term")
+    kinds = {o[0] for o in ops}
+    if len(kinds) > 1:
+        raise ValueError("mixing AND and NEAR in one query is not supported")
+    mode = kinds.pop()
+    slop = default_slop
+    if mode == "NEAR":
+        slops = {o[1] for o in ops if o[1] is not None}
+        if len(slops) > 1:
+            raise ValueError("conflicting NEAR/<n> slops")
+        if slops:
+            slop = slops.pop()
+        if slop < 1:
+            raise ValueError("NEAR slop must be >= 1")
+    return ParsedQuery(" ".join(terms), lang, mode, slop)

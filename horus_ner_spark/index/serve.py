@@ -54,6 +54,7 @@ from horus_ner_spark.index.build import (
     IndexPaths,
 )
 from horus_ner_spark.index.codec import decode_block
+from horus_ner_spark.index.qsyntax import parse_query
 from horus_ner_spark.index.query import _SUB_COLS, _dispatch_query, _in_sorted
 
 # columns the OR/AND kernels need; the LRU caches exactly these.  pos_vb
@@ -355,6 +356,18 @@ class IndexServer:
             k, mode, require_all=len(terms),
         )
         return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+
+    def search_text(self, text: str, k: int = 10,
+                    default_lang: str = "python",
+                    default_slop: int = 8) -> pd.DataFrame:
+        """Freeform-syntax entry point: ``"exact phrase"``, ``a AND b``,
+        ``a NEAR/3 b``, ``lang:python`` (see :mod:`..index.qsyntax`).
+        Parses to the explicit enum API and dispatches through
+        :meth:`search`, so results are rank-identical by construction
+        (reference: webservice/rest.py:47-61 takes freeform text)."""
+        p = parse_query(text, default_lang=default_lang,
+                        default_slop=default_slop)
+        return self.search(p.query_text, p.lang, k, p.mode, slop=p.slop)
 
     def _get_pool(self) -> ThreadPoolExecutor:
         with self._pool_lock:
