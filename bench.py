@@ -296,13 +296,20 @@ def main() -> None:
     # misses on spawn-context worker processes.  serve_pool_bench.py is the
     # full experiment; this records the headline in-process vs pooled pair
     # per round (same deterministic query list both configs).
-    from serve_pool_bench import distinct_queries, run_config
+    from serve_pool_bench import distinct_queries, mixed_queries, run_config
 
     cold_qs = distinct_queries(128)
     daemon_coldmiss = {str(w): run_config(paths.root, w, cold_qs)
                        for w in (0, 8)}
     timings["serve_coldmiss_inproc"] = daemon_coldmiss["0"]["wall_s"]
     timings["serve_coldmiss_pool8"] = daemon_coldmiss["8"]["wall_s"]
+
+    # mixed hot/cold 32-client (round 5): 70% of requests repeat 8 hot
+    # queries (single-flight LRU absorbs), 30% distinct cold (must score);
+    # daemon at workers="auto" — the CLI's default posture — so this entry
+    # benches what `python -m horus_ner_spark.daemon <ix>` actually serves
+    daemon_mixed = run_config(paths.root, "auto", mixed_queries(256))
+    timings["serve_mixed32_auto"] = daemon_mixed["wall_s"]
 
     # compaction (round 3: per-(term,rb) parallel re-block, no tf shuffle):
     # merge the 100k-doc index with a fresh 10k-doc segment — the steady-
@@ -363,6 +370,7 @@ def main() -> None:
         "daemon_http_p99_ms": round(daemon_lat["p99_ms"], 3),
         "daemon_concurrent32": daemon_conc,
         "daemon_coldmiss_pool": daemon_coldmiss,
+        "daemon_mixed32_auto": daemon_mixed,
         "wand_decode": wand_decode,
         "build_stage_wall_s": stage_wall,
         "cpu_calib_s": {"start": calib_start, "end": cpu_calibration()},

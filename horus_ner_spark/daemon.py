@@ -61,6 +61,36 @@ def _worker_search(qt: str, lang: str, k: int, mode: str, slop: int) -> list:
         orient="records"
     )
 
+
+# workers="auto" gate: below this on-disk index size the in-process kernel
+# answers cold misses in single-digit ms and spawn-pool IPC would only add
+# overhead; above it, concurrent DISTINCT queries serialize on the GIL and
+# the worker pool wins 4-7x (serve_pool_bench.py, BENCH.md)
+_AUTO_POOL_MIN_BYTES = 64 << 20
+_AUTO_POOL_MAX_WORKERS = 8
+
+
+def _resolve_workers(workers, index_dir) -> int:
+    """Resolve the ``workers`` ctor arg: an int passes through; ``"auto"``
+    picks ``min(cores, 8)`` when the on-disk index exceeds the size gate,
+    else 0 (in-process)."""
+    if workers != "auto":
+        return int(workers)
+    import os
+
+    total = 0
+    dirs = index_dir if isinstance(index_dir, (list, tuple)) else [index_dir]
+    for d in dirs:
+        for root, _sub, files in os.walk(str(d)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    if total < _AUTO_POOL_MIN_BYTES:
+        return 0
+    return min(os.cpu_count() or 1, _AUTO_POOL_MAX_WORKERS)
+
 # latency window: enough for a faithful p99, bounded so an always-on
 # daemon never grows memory with query count
 _LAT_WINDOW = 100_000
@@ -151,7 +181,7 @@ class ServeDaemon:
         index_dir: str | list[str],
         host: str = "127.0.0.1",
         port: int = 0,
-        workers: int = 0,
+        workers: int | str = 0,
     ) -> None:
         """``workers`` > 0 scores cache-missing ``/search`` requests on a
         pool of WORKER PROCESSES (spawn context), one IndexServer per
@@ -165,7 +195,12 @@ class ServeDaemon:
 
         Spawn (not fork) so a daemon hosted inside a Spark driver never
         forks py4j/JVM state; workers lazily re-import the package and
-        mmap their own pyarrow readers."""
+        mmap their own pyarrow readers.
+
+        ``workers="auto"`` resolves via :func:`_resolve_workers`: 0 for a
+        small index (in-process is faster than pool IPC), ``min(cores, 8)``
+        once the on-disk index passes the size gate."""
+        workers = _resolve_workers(workers, index_dir)
         self.server = IndexServer(index_dir)
         self._pool = None
         if workers > 0:
@@ -350,6 +385,10 @@ def main(argv: list[str]) -> None:
     """``python -m horus_ner_spark.daemon <index_dir> [port] [--host H]
     [--workers N]``.
 
+    ``--workers`` defaults to ``auto``: a size-gated ``min(cores, 8)``
+    worker pool for cold-miss parallelism on real indexes, in-process for
+    small ones (``--workers 0`` forces in-process).
+
     Binds loopback by default — the daemon is unauthenticated, so exposing
     it must be an explicit operator decision (``--host 0.0.0.0``), never
     the default posture."""
@@ -359,7 +398,7 @@ def main(argv: list[str]) -> None:
         i = rest.index("--host")
         host = rest[i + 1]
         del rest[i : i + 2]
-    workers = 0
+    workers: int | str = "auto"  # CLI default: size-gated pool
     if "--workers" in rest:
         i = rest.index("--workers")
         workers = int(rest[i + 1])
@@ -367,7 +406,10 @@ def main(argv: list[str]) -> None:
     index_dir = rest[0]
     port = int(rest[1]) if len(rest) > 1 else 8765
     d = ServeDaemon(index_dir, host=host, port=port, workers=workers).start()
-    print(f"serving {index_dir} on {host}:{d.port}", flush=True)
+    print(
+        f"serving {index_dir} on {host}:{d.port} (workers={d.workers})",
+        flush=True,
+    )
     try:
         while True:
             time.sleep(3600)

@@ -40,11 +40,27 @@ def distinct_queries(n: int) -> list[dict]:
     ]
 
 
-def run_config(index_root: str, workers: int, queries: list[dict]) -> dict:
+def mixed_queries(n: int, hot_frac: float = 0.7, hot_set: int = 8) -> list[dict]:
+    """Deterministic mixed hot/cold request stream: ``hot_frac`` of the n
+    requests repeat one of ``hot_set`` hot queries (absorbable by the
+    single-flight LRU), the rest are distinct cold queries (must score).
+    This is the realistic serving regime between the two extremes the
+    other benches measure (concurrent32 = all-hot, coldmiss = all-cold)."""
+    cold_n = int(round(n * (1.0 - hot_frac)))
+    pool = distinct_queries(hot_set + cold_n)
+    hot = pool[:hot_set]
+    cold = pool[hot_set:]
+    rng = random.Random(7)
+    stream = cold + [hot[rng.randrange(hot_set)] for _ in range(n - cold_n)]
+    rng.shuffle(stream)
+    return stream
+
+
+def run_config(index_root: str, workers, queries: list[dict]) -> dict:
     from horus_ner_spark.daemon import ServeDaemon
 
     daemon = ServeDaemon(index_root, workers=workers).start()
-    n_warm = max(1, workers)
+    n_warm = max(1, daemon.workers)  # resolved count (workers may be "auto")
     try:
         # ProcessPoolExecutor spawns workers lazily as submissions queue,
         # so fire `workers` CONCURRENT warm-up requests: all workers finish
@@ -84,7 +100,7 @@ def run_config(index_root: str, workers: int, queries: list[dict]) -> dict:
         wall = time.perf_counter() - t0
         lat_ms.sort()
         return {
-            "workers": workers,
+            "workers": daemon.workers,
             "clients": CLIENTS,
             "queries": len(lat_ms),
             "wall_s": round(wall, 3),

@@ -253,3 +253,47 @@ def test_daemon_rejects_oversized_k(spark, sf001_index):
         assert code == 200 and "results" in ok
     finally:
         daemon.shutdown()
+
+
+def test_workers_auto_resolution(tmp_path, monkeypatch):
+    """"auto" resolves to 0 below the size gate and min(cores, 8) above
+    it — pure function, no daemon start needed."""
+    import horus_ner_spark.daemon as dm
+
+    small = tmp_path / "small_ix"
+    small.mkdir()
+    (small / "postings.parquet").write_bytes(b"x" * 1024)
+    assert dm._resolve_workers("auto", str(small)) == 0
+    assert dm._resolve_workers(0, str(small)) == 0
+    assert dm._resolve_workers(4, str(small)) == 4
+
+    monkeypatch.setattr(dm, "_AUTO_POOL_MIN_BYTES", 512)
+    import os
+
+    want = min(os.cpu_count() or 1, dm._AUTO_POOL_MAX_WORKERS)
+    assert dm._resolve_workers("auto", str(small)) == want
+    # segment-list form sums across directories
+    assert dm._resolve_workers("auto", [str(small), str(small)]) == want
+
+
+def test_daemon_auto_small_index_stays_inprocess(spark, sf001_index):
+    """The sf0.001 index is far below the gate: auto must stay in-process
+    (workers == 0) and answer identically to the explicit default."""
+    _cp, paths = sf001_index
+    daemon = ServeDaemon(paths.root, workers="auto").start()
+    try:
+        assert daemon.workers == 0 and daemon._pool is None
+        code, resp = _post(
+            daemon.port, "/search",
+            {"query_text": "parse config", "lang": "python", "k": 5},
+        )
+        assert code == 200
+        lib = IndexServer(paths.root)
+        want = [
+            {"rank": int(r.rank), "doc_id": int(r.doc_id),
+             "score": float(r.score)}
+            for r in lib.search("parse config", "python", 5).itertuples()
+        ]
+        assert resp["results"] == want and len(want) > 0
+    finally:
+        daemon.shutdown()
