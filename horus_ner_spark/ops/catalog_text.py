@@ -1122,20 +1122,26 @@ def _nearest_cell(e: DataFrame, cents: DataFrame, keep_n: int = 1) -> DataFrame:
     )
 
 
-def _kmeans_centroids(e: DataFrame) -> DataFrame:
+def _kmeans_centroids(
+    e: DataFrame,
+    cents: DataFrame | None = None,
+    iters: int = _KMEANS_ITERS,
+) -> DataFrame:
     """Seeded Lloyd iterations as pure DataFrame aggs: start from the
-    deterministic seed centroids (vec_id < n_cells — the round-1 stub),
-    then ``_KMEANS_ITERS`` times: assign (broadcast cross join, tiny
-    centroid side) -> elementwise mean per cell (posexplode to (cell, dim)
-    and ONE hash agg — the scalable layout for any dim) -> reassemble.
-    Centroid coordinates quantize per iteration so the fixpoint is
-    reproducible across summation orders (shared determinism contract)."""
-    cents = e.filter(F.col("vec_id") < _IVF_N_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    for _ in range(_KMEANS_ITERS):
+    deterministic seed centroids (default: vec_id < n_cells — the round-1
+    stub; streaming/ann_maintain.py passes its own ranked seed), then
+    ``iters`` times: assign (broadcast cross join, tiny centroid side) ->
+    elementwise mean per cell (posexplode to (cell, dim) and ONE hash agg —
+    the scalable layout for any dim) -> reassemble.  Centroid coordinates
+    quantize per iteration so the fixpoint is reproducible across
+    summation orders (shared determinism contract)."""
+    if cents is None:
+        cents = e.filter(F.col("vec_id") < _IVF_N_CELLS).select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    for _ in range(iters):
         assigned = _nearest_cell(e, cents, keep_n=1)
         dims = assigned.select(
             "cell", F.posexplode("embedding").alias("dim", "v")
