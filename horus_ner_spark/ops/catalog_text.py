@@ -1289,29 +1289,134 @@ _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def token_count_bpe(spark, sf_dir):
-    """Token counting two ways: whitespace tokens and a BPE-ish
-    pre-tokenizer regex (letter runs | digit runs | single punctuation) —
-    the train-data budgeting op.  Pure JVM regexp, no UDF."""
+    """Token counting three ways: whitespace tokens, the BPE-ish
+    pre-tokenizer regex proxy (letter runs | digit runs | single
+    punctuation), and REAL byte-pair encoding against the committed
+    merges artifact (functions/bpe.py; fixtures/bpe_merges.csv — a static
+    model artifact, like GPT-2's merges.txt) — the train-data budgeting
+    op, now with the counts a production tokenizer would actually bill.
+
+    Scale shape: the Python merge loop touches only the DISTINCT-WORD
+    vocabulary (|vocab| << corpus; Heaps' law) inside one Arrow-batched
+    pandas UDF; the corpus-side plan is all JVM — regexp pre-tokenize +
+    explode + hash-agg per-doc word counts, then a broadcast join of the
+    tiny (word -> n_tokens) map and a map-side-combinable sum.  The
+    `real_over_proxy` ratio is the divergence stat between real BPE and
+    the regex proxy (VERDICT r4 item 7)."""
+    import pandas as pd
+
+    from horus_ner_spark.functions.bpe import apply_bpe_count, load_ranks
+
+    ranks = load_ranks()  # ~KB; rides the UDF closure
+
+    bpe_count = F.pandas_udf(
+        lambda words: words.map(lambda w: apply_bpe_count(w, ranks)),
+        "int",
+    )
+
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " +")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("bpe_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    ).withColumn(
-        "chars_per_bpe_token",
-        F.round(F.col("n_chars_actual") / F.col("bpe_tokens"), 4),
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    word_tok = (
+        wc.select("word").distinct().withColumn("n_tok", bpe_count("word"))
+    )
+    real = (
+        wc.join(F.broadcast(word_tok), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_tok")).cast("int").alias("real_bpe_tokens"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " +")).alias("ws_tokens"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+            ).alias("bpe_tokens"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .withColumn(
+            "chars_per_bpe_token",
+            F.round(F.col("n_chars_actual") / F.col("bpe_tokens"), 4),
+        )
+        .join(real, "doc_id", "left")
+        .withColumn(
+            "real_bpe_tokens", F.coalesce("real_bpe_tokens", F.lit(0))
+        )
+        .withColumn(
+            "real_over_proxy",
+            F.round(F.col("real_bpe_tokens") / F.col("bpe_tokens"), 4),
+        )
     )
 
 
+def _bpe_merges_path() -> str:
+    from horus_ner_spark.functions.bpe import merges_fixture_path
+
+    return merges_fixture_path()
+
+
+# The oracle replicates the apply loop exactly: recursive CTE over the
+# distinct words, each step merging the LOWEST-RANK pair present at its
+# LEFTMOST occurrence (HF tokenizers' priority order — same contract as
+# functions/bpe.py:apply_bpe_count); the terminal state per word is the
+# minimum-length token list.  chr(1) joins pair keys (never appears in
+# _BPE_RE words).
 TOKEN_COUNT_BPE_SQL = f"""
-SELECT doc_id,
+WITH RECURSIVE
+merges AS (
+  SELECT rank, left_tok || chr(1) || right_tok AS pair
+  FROM read_csv('{_bpe_merges_path()}', header=true,
+                columns={{'rank':'INT','left_tok':'VARCHAR','right_tok':'VARCHAR'}})
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE}')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+bpe AS (
+  SELECT word, regexp_extract_all(word, '.') AS t
+  FROM (SELECT DISTINCT word FROM wc)
+  UNION ALL
+  SELECT word, t[1:bi-1] || [t[bi] || t[bi+1]] || t[bi+2:] AS t
+  FROM (
+    SELECT word, t, list_position(pairs, bp) AS bi
+    FROM (
+      SELECT word, t, pairs,
+        (SELECT pair FROM merges WHERE list_contains(pairs, pair)
+         ORDER BY rank LIMIT 1) AS bp
+      FROM (
+        SELECT word, t,
+          list_transform(range(1, len(t)), i -> t[i] || chr(1) || t[i+1]) AS pairs
+        FROM bpe WHERE len(t) > 1
+      )
+    ) WHERE bp IS NOT NULL
+  )
+),
+word_tok AS (SELECT word, min(len(t)) AS n_tok FROM bpe GROUP BY word),
+real AS (
+  SELECT doc_id, CAST(sum(cnt * n_tok) AS INT) AS real_bpe_tokens
+  FROM wc JOIN word_tok USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
        CAST(len(string_split_regex(text, ' +')) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS bpe_tokens,
        CAST(length(text) AS INT) AS n_chars_actual,
        round(length(text) / CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE), 4)
-         AS chars_per_bpe_token
-FROM documents
+         AS chars_per_bpe_token,
+       COALESCE(real.real_bpe_tokens, 0) AS real_bpe_tokens,
+       round(COALESCE(real.real_bpe_tokens, 0)
+             / CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE), 4)
+         AS real_over_proxy
+FROM documents d LEFT JOIN real ON d.doc_id = real.doc_id
 """
 
 
