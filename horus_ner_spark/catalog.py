@@ -189,10 +189,43 @@ def list_data_files(ref: str, suffix: str | None = None) -> list[tuple[str, int]
     return out
 
 
-def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Read a table by path (parquet) or identifier (iceberg)."""
+def read_table(
+    spark: SparkSession,
+    ref: str,
+    snapshot_id: int | None = None,
+    as_of_timestamp: int | None = None,
+    branch: str | None = None,
+) -> DataFrame:
+    """Read a table by path (parquet) or identifier (iceberg).
+
+    Under Iceberg the three time-travel/ref knobs route to the standard
+    Spark read options (``snapshot-id``, ``as-of-timestamp``, ``branch``)
+    — a rebuilt index can therefore be validated against the previous
+    snapshot, and a staging branch can serve shadow traffic, without any
+    engine change.  At most one knob may be set (they select conflicting
+    snapshots).  Plain Parquet has no snapshot log, so requesting time
+    travel under the parquet format is a hard error, not a silent
+    latest-read."""
+    knobs = [
+        ("snapshot-id", snapshot_id),
+        ("as-of-timestamp", as_of_timestamp),
+        ("branch", branch),
+    ]
+    set_knobs = [(k, v) for k, v in knobs if v is not None]
+    if len(set_knobs) > 1:
+        raise ValueError(
+            "at most one of snapshot_id/as_of_timestamp/branch may be set"
+        )
     if table_format() == "iceberg":
-        return spark.read.table(ref)
+        r = spark.read
+        for k, v in set_knobs:
+            r = r.option(k, v)
+        return r.table(ref)
+    if set_knobs:
+        raise NotImplementedError(
+            f"time-travel read ({set_knobs[0][0]}) requires an Iceberg "
+            f"table; HORUS_TABLE_FORMAT={table_format()!r} has no snapshot log"
+        )
     return spark.read.parquet(ref)
 
 

@@ -135,3 +135,66 @@ def test_iceberg_branch_routes_identifiers(monkeypatch):
 
     with _pytest.raises(ValueError, match="unsupported mode"):
         catalog.write_table(StubDF(), "horus.db.tf", mode="ignore")
+
+
+def test_iceberg_snapshot_and_branch_routing(monkeypatch):
+    """Round-5 (#4 follow-up): pyiceberg / the Iceberg runtime jar cannot
+    be installed in this sandbox (no network; attempt recorded in README),
+    so snapshot/branch semantics are pinned with stubs: time-travel knobs
+    must reach spark.read.option(...) EXACTLY as Iceberg's documented
+    option names, must be mutually exclusive, and must hard-error under
+    plain parquet (which has no snapshot log) instead of silently reading
+    latest."""
+    calls = []
+
+    class StubReader:
+        def option(self, k, v):
+            calls.append(("option", k, v))
+            return self
+
+        def table(self, ref):
+            calls.append(("table", ref))
+            return "df-" + ref
+
+        def parquet(self, ref):  # pragma: no cover - must never run
+            raise AssertionError("iceberg read routed to parquet")
+
+    class StubSpark:
+        read = StubReader()
+
+    monkeypatch.setenv(catalog.FORMAT_ENV, "iceberg")
+    assert catalog.read_table(
+        StubSpark(), "horus.db.postings", snapshot_id=123
+    ) == "df-horus.db.postings"
+    assert calls == [
+        ("option", "snapshot-id", 123),
+        ("table", "horus.db.postings"),
+    ]
+
+    calls.clear()
+    catalog.read_table(StubSpark(), "horus.db.postings", branch="staging")
+    assert calls == [
+        ("option", "branch", "staging"),
+        ("table", "horus.db.postings"),
+    ]
+
+    calls.clear()
+    catalog.read_table(
+        StubSpark(), "horus.db.postings", as_of_timestamp=1700000000000
+    )
+    assert calls == [
+        ("option", "as-of-timestamp", 1700000000000),
+        ("table", "horus.db.postings"),
+    ]
+
+    # conflicting knobs rejected
+    with pytest.raises(ValueError, match="at most one"):
+        catalog.read_table(
+            StubSpark(), "horus.db.postings", snapshot_id=1, branch="b"
+        )
+
+    # parquet has no snapshot log: time travel is a hard error, and the
+    # plain read still works
+    monkeypatch.setenv(catalog.FORMAT_ENV, "parquet")
+    with pytest.raises(NotImplementedError, match="snapshot log"):
+        catalog.read_table(StubSpark(), "/some/path", snapshot_id=1)
