@@ -28,13 +28,17 @@ _SQL_TOKS2 = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)"
 )
 
-# word-3-gram shingles (distinct), guarded for docs with < 3 tokens
-_SHINGLES = f"""
-    CASE WHEN size({_TOKS}) >= 3 THEN
-      array_distinct(transform(sequence(0, size({_TOKS}) - 3),
-        i -> concat_ws(' ', element_at({_TOKS}, i + 1),
-                            element_at({_TOKS}, i + 2),
-                            element_at({_TOKS}, i + 3))))
+# word-3-gram shingles (distinct), guarded for docs with < 3 tokens.
+# NOTE: references a pre-materialized `toks` COLUMN, never the inline
+# `_TOKS` split expression.  Catalyst's common-subexpression elimination
+# does not cross the higher-order-function boundary, so inlining `_TOKS`
+# into the element lookups re-ran filter(split(text)) once per shingle
+# element — O(tokens^2) per doc, measured 4.7 s for 260k shingles at
+# sf0.1 vs 0.55 s for this shape (round 5).
+_SHINGLES = """
+    CASE WHEN size(toks) >= 3 THEN
+      array_distinct(transform(sequence(0, size(toks) - 3),
+        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
     ELSE array() END
 """
 
@@ -50,6 +54,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct word-3-grams."""
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
     )
 
