@@ -137,6 +137,21 @@ def read_corpus_stats(paths: IndexPaths) -> dict:
     return pq.read_table(base, filesystem=fs).to_pylist()[0]
 
 
+def corpus_stats_df(
+    spark: SparkSession, n_docs: int, total_len: int, avgdl: float
+) -> DataFrame:
+    """The one-row corpus_stats table, built JVM-side as literals over
+    range(1).  ``createDataFrame([...]).coalesce(1)`` routes the row
+    through a Python-RDD-backed single task — a measured fixed ~4-5 s per
+    write (so per index build AND per compaction merge) on local[32];
+    this plan is pure codegen and writes in ~0.2 s."""
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(total_len)).cast("long").alias("total_len"),
+        F.lit(float(avgdl)).cast("double").alias("avgdl"),
+    )
+
+
 def with_doc_id(corpus: DataFrame) -> DataFrame:
     """doc_id = xxhash64(repo, path, commit) — per FIXTURES.md §1.
 
@@ -811,10 +826,7 @@ def build_index(
         total_len = sum(m["col_sum"] for m in dl_metrics)
         avgdl = float(total_len) / n_docs if n_docs else 0.0
         catalog.write_table(
-            spark.createDataFrame(
-                [(n_docs, int(total_len), avgdl)],
-                "n_docs long, total_len long, avgdl double",
-            ).coalesce(1),
+            corpus_stats_df(spark, n_docs, int(total_len), avgdl),
             paths.corpus_stats,
         )
         man.commit_stage(

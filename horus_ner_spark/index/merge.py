@@ -61,6 +61,7 @@ from horus_ner_spark.index.build import (
     RANGE_BITS,
     SPLIT_THRESHOLD,
     IndexPaths,
+    corpus_stats_df,
     encode_run,
     read_corpus_stats,
 )
@@ -280,10 +281,7 @@ def merge_indexes(
     ).collect()[0]["t"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     catalog.write_table(
-        spark.createDataFrame(
-            [(n_docs, int(total_len), avgdl)],
-            "n_docs long, total_len long, avgdl double",
-        ).coalesce(1),
+        corpus_stats_df(spark, n_docs, int(total_len), avgdl),
         out.corpus_stats,
     )
 
