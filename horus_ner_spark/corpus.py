@@ -129,6 +129,12 @@ def write_corpus(spark, out_dir: str, sf: float, seed: int = SEED, n_partitions:
     Each task generates only its own id range; determinism is per-doc, so the
     result is independent of n_partitions (asserted in tests).
     """
+    from horus_ner_spark.session import ensure_package_on_executors
+
+    # gen_batches pickles a reference to this module: ship the package so
+    # the kernel unpickles on workers even when the driver script runs
+    # outside the repo (e.g. spark-submit from another cwd)
+    ensure_package_on_executors(spark)
     n = n_docs_for_sf(sf)
     n_repos = max(10, n // 100)
     parts = n_partitions or max(8, min(64, n // 2000))

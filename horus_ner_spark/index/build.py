@@ -85,7 +85,8 @@ SUB_BLOCKS_MAX = 16    # sub-range cap per block
 # (codec.py) powering phrase queries.
 POSTINGS_SCHEMA = (
     "term string, rb int, block_id int, min_doc_id long, max_doc_id long, "
-    "n_postings int, block_max_tfnorm double, doc_ids_vb binary, tfs_vb binary, "
+    "n_postings int, block_cf long, block_max_tfnorm double, "
+    "doc_ids_vb binary, tfs_vb binary, "
     "doclens_vb binary, pos_vb binary, sub_min_doc_ids array<long>, "
     "sub_max_tfnorms array<double>"
 )
@@ -196,6 +197,7 @@ def _encode_stream(
             "min_doc_id": e64,
             "max_doc_id": e64,
             "n_postings": e64,
+            "block_cf": e64,
             "block_max_tfnorm": np.empty(0, dtype=np.float64),
             "doc_ids_vb": [],
             "tfs_vb": [],
@@ -285,6 +287,13 @@ def _encode_stream(
         "min_doc_id": doc_ids[bstarts],
         "max_doc_id": doc_ids[bends - 1],
         "n_postings": ns,
+        # layout v7: per-block collection-frequency sum, stored so merged
+        # term_stats (cf) is a pure metadata column sum — no tf decode.
+        # reduceat is valid because blocks tile [0, n) (bends[i] ==
+        # bstarts[i+1]), the same contract maximum.reduceat relies on.
+        "block_cf": np.add.reduceat(
+            np.ascontiguousarray(tfs, dtype=np.int64), bstarts
+        ),
         "block_max_tfnorm": np.maximum.reduceat(tfnorms, bstarts),
         "doc_ids_vb": _slices(enc_d, vend_d),
         "tfs_vb": _slices(enc_t, vend_t),
@@ -333,6 +342,7 @@ def encode_run(
                 "min_doc_id": int(cols["min_doc_id"][i]),
                 "max_doc_id": int(cols["max_doc_id"][i]),
                 "n_postings": int(cols["n_postings"][i]),
+                "block_cf": int(cols["block_cf"][i]),
                 "block_max_tfnorm": float(cols["block_max_tfnorm"][i]),
                 "doc_ids_vb": cols["doc_ids_vb"][i],
                 "tfs_vb": cols["tfs_vb"][i],
@@ -349,8 +359,8 @@ def encode_run(
 
 _BLOCK_COLS = [
     "term", "rb", "block_id", "min_doc_id", "max_doc_id", "n_postings",
-    "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb", "pos_vb",
-    "sub_min_doc_ids", "sub_max_tfnorms",
+    "block_cf", "block_max_tfnorm", "doc_ids_vb", "tfs_vb", "doclens_vb",
+    "pos_vb", "sub_min_doc_ids", "sub_max_tfnorms",
 ]
 
 
@@ -450,6 +460,7 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
         "min_doc_id": cols["min_doc_id"],
         "max_doc_id": cols["max_doc_id"],
         "n_postings": cols["n_postings"].astype(np.int32),
+        "block_cf": cols["block_cf"],
         "block_max_tfnorm": cols["block_max_tfnorm"],
         "doc_ids_vb": cols["doc_ids_vb"],
         "tfs_vb": cols["tfs_vb"],
@@ -471,6 +482,7 @@ def _encode_table(tbl, terms, change, n_rows: int, avgdl: float, block_size: int
                 ("min_doc_id", pa.int64()),
                 ("max_doc_id", pa.int64()),
                 ("n_postings", pa.int32()),
+                ("block_cf", pa.int64()),
                 ("block_max_tfnorm", pa.float64()),
                 ("doc_ids_vb", pa.binary()),
                 ("tfs_vb", pa.binary()),
@@ -745,7 +757,10 @@ def build_index(
         # v6: impact-ISOLATING variable-count sub-ranges; sub_max_doc_ids
         # dropped from storage (derived in the kernel from sub_min + the
         # block max, since ranges tile the block span)
-        "layout": "v6-isolated-subranges",
+        # v7: per-block cf sum (block_cf) stored so compaction derives the
+        # merged term_stats cf as a column-pruned metadata sum, never
+        # decoding tfs_vb
+        "layout": "v7-block-cf",
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)

@@ -257,28 +257,51 @@ def merge_indexes(
     out = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # docs / doclens: first-wins union (oldest segment wins — deterministic,
-    # aligned with the posting dedupe below and the serving-side rule)
-    catalog.write_table(
-        _first_wins_union(spark, [s.docs for s in segments], ["doc_id"]),
-        out.docs,
-    )
-    catalog.write_table(
-        _first_wins_union(spark, [s.doclens for s in segments], ["doc_id"]),
-        out.doclens,
-    )
+    # detect doc-id overlap FIRST (one narrow countDistinct job over the
+    # unioned docs' doc_id column — column-pruned scan): when segments are
+    # doc-disjoint — the common case, ingest dedupes
+    # (streaming/incremental.py) — docs/doclens merge as plain shuffle-free
+    # unions and the merged corpus stats are driver arithmetic over the
+    # segments' stored one-row stats; only genuinely overlapping merges pay
+    # the per-key first-wins window shuffles.
+    seg_stats = [read_corpus_stats(seg) for seg in segments]
+    seg_doc_sum = sum(int(s["n_docs"]) for s in seg_stats)
 
-    # merged corpus stats; also detect doc-id overlap between segments —
-    # when there is none (the common case; ingest dedupes), the metadata
-    # n_postings sum below IS the exact merged df for every term
-    n_docs = catalog.read_table(spark, out.docs).count()
-    seg_doc_sum = 0
-    for seg in segments:
-        seg_doc_sum += int(read_corpus_stats(seg)["n_docs"])
+    def _union(tables: list[str]) -> DataFrame:
+        df = None
+        for ref in tables:
+            part = catalog.read_table(spark, ref)
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    n_docs = (
+        _union([s.docs for s in segments])
+        .select("doc_id").distinct().count()
+    )
     overlap = seg_doc_sum != n_docs
-    total_len = catalog.read_table(spark, out.doclens).agg(
-        F.sum("doclen").alias("t")
-    ).collect()[0]["t"] or 0
+
+    if not overlap:
+        catalog.write_table(_union([s.docs for s in segments]), out.docs)
+        catalog.write_table(
+            _union([s.doclens for s in segments]), out.doclens
+        )
+        total_len = sum(int(s["total_len"]) for s in seg_stats)
+    else:
+        # first-wins union (oldest segment wins — deterministic, aligned
+        # with the posting dedupe below and the serving-side rule)
+        catalog.write_table(
+            _first_wins_union(spark, [s.docs for s in segments], ["doc_id"]),
+            out.docs,
+        )
+        catalog.write_table(
+            _first_wins_union(
+                spark, [s.doclens for s in segments], ["doc_id"]
+            ),
+            out.doclens,
+        )
+        total_len = catalog.read_table(spark, out.doclens).agg(
+            F.sum("doclen").alias("t")
+        ).collect()[0]["t"] or 0
     avgdl = float(total_len) / n_docs if n_docs else 0.0
     catalog.write_table(
         corpus_stats_df(spark, n_docs, int(total_len), avgdl),
@@ -286,15 +309,17 @@ def merge_indexes(
     )
 
     # tagged union of every segment's posting blocks.  Mixed layouts
-    # normalize to the v6 column set: pre-v5 segments lack the sub_*
+    # normalize to the v7 column set: pre-v5 segments lack the sub_*
     # impact-metadata columns (add null arrays — the read path treats
     # null sub metadata as block-granular), v5 segments carry a stored
     # sub_max_doc_ids (drop it — v6 derives range maxima from sub_min +
-    # the block max).  Every block re-encodes through encode_run below,
-    # so the OUTPUT is always full v6.  Without the normalization, an
+    # the block max), pre-v7 segments lack block_cf (add null — every
+    # block re-encodes through encode_run below, which recomputes it, so
+    # the OUTPUT is always full v7).  Without the normalization, an
     # upgraded deployment's first compaction over old segments crashed
     # (KeyError in the split kernel / AnalysisException in unionByName).
     _SUB_NORM_COLS = (
+        ("block_cf", "long"),
         ("sub_min_doc_ids", "array<long>"),
         ("sub_max_tfnorms", "array<double>"),
     )
@@ -366,25 +391,20 @@ def merge_indexes(
         persisted.unpersist()
 
     # term stats FROM the merged blocks: df is pure footer metadata
-    # (n_postings sums), cf a varbyte sum of each block's tfs — no tf union
-    def _block_stats(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "term": pdf["term"],
-                    "df_p": pdf["n_postings"].astype("int64"),
-                    "cf_p": [
-                        int(vb_decode(bytes(b)).sum()) for b in pdf["tfs_vb"]
-                    ],
-                }
-            )
-
+    # (n_postings sums) and since layout v7 so is cf (block_cf sums) —
+    # the merged postings always carry block_cf because every block above
+    # re-encoded through encode_run, so this is a column-pruned JVM
+    # aggregation over four narrow columns: no Python round-trip, no
+    # varbyte decode (pre-v7 the cf sum decoded every block's tfs_vb —
+    # ~1/3 of merge wall time at sf0.1)
     catalog.write_table(
         catalog.read_table(spark, out.postings)
-        .select("term", "n_postings", "tfs_vb")
-        .mapInPandas(_block_stats, "term string, df_p long, cf_p long")
+        .select("term", "n_postings", "block_cf")
         .groupBy("term")
-        .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
+        .agg(
+            F.sum("n_postings").cast("long").alias("df"),
+            F.sum("block_cf").alias("cf"),
+        )
         .withColumn("pbucket", term_bucket_col("term", n_pbuckets))
         .repartition(n_pbuckets, "pbucket")
         .sortWithinPartitions("term"),

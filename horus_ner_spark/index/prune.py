@@ -60,6 +60,18 @@ def _prune_factory(avgdl: float, keep_fraction: float, min_keep: int,
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         from horus_ner_spark.index.codec import pos_slice_offsets
 
+        # early-out: a group that prunes to itself (n_keep == n) passes its
+        # blocks through VERBATIM.  Valid because the input is a built
+        # index (blocks already canonical for this (term, rb) run) and
+        # prune carries corpus_stats over unchanged, so the stored
+        # avgdl-dependent metadata (block_max_tfnorm, sub_max_tfnorms)
+        # stays exact.  On a Zipf vocabulary this skips the decode +
+        # re-encode round-trip for the entire rare-term tail (df <=
+        # min_keep), which is most groups.
+        n = int(pdf["n_postings"].sum())
+        if n <= min_keep or math.ceil(keep_fraction * n) >= n:
+            return pdf[_BLOCK_COLS]
+
         term = pdf["term"].iloc[0]
         rb = int(pdf["rb"].iloc[0])
         docs_l, tfs_l, dls_l, pos_l = [], [], [], []

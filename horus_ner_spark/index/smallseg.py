@@ -132,7 +132,7 @@ def build_index_small(
         "n_pbuckets": n_pbuckets,
         "split_threshold": split_threshold,
         "tokenizer": "code-aware-v1",
-        "layout": "v6-isolated-subranges",
+        "layout": "v7-block-cf",
         "bm25": {"k1": bm25.K1, "b": bm25.B},
     }
     fp = corpus_fingerprint(corpus_path, conf)
@@ -539,6 +539,7 @@ def merge_indexes_small(
             "min_doc_id": cols["min_doc_id"],
             "max_doc_id": cols["max_doc_id"],
             "n_postings": cols["n_postings"].astype(np.int32),
+            "block_cf": cols["block_cf"],
             "block_max_tfnorm": cols["block_max_tfnorm"],
             "doc_ids_vb": cols["doc_ids_vb"],
             "tfs_vb": cols["tfs_vb"],
