@@ -174,6 +174,37 @@ def main() -> None:
         )
     )
 
+    # layout v7: the merged term_stats derivation — must show a scan pruned
+    # to (term, n_postings, block_cf) and a two-phase hash aggregate with
+    # NO Python evaluator node (pre-v7 this stage mapInPandas-decoded every
+    # block's tfs_vb)
+    ts_plan = (
+        spark.read.parquet(merged.postings)
+        .select("term", "n_postings", "block_cf")
+        .groupBy("term")
+        .agg(
+            F.sum("n_postings").cast("long").alias("df"),
+            F.sum("block_cf").alias("cf"),
+        )
+    )
+    sections.append(
+        (
+            "Merged term_stats derivation (layout v7 metadata sum)",
+            explain_str(ts_plan),
+            [
+                "ReadSchema prunes the scan to term + two int metadata "
+                "columns — the posting payload bytes (doc_ids_vb/tfs_vb/"
+                "doclens_vb/pos_vb) never leave parquet",
+                "partial_sum before the exchange (map-side combine) then a "
+                "final HashAggregate — all inside WholeStageCodegen, no "
+                "ArrowEvalPython/FlatMapGroupsInPandas node anywhere",
+                "pre-v7 this stage varbyte-decoded every merged block's tfs "
+                "in Python to derive cf; block_cf makes cf pure footer "
+                "metadata, O(blocks) ints instead of O(postings) bytes",
+            ],
+        )
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence for the hot paths\n\n"
