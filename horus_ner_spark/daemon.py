@@ -17,7 +17,8 @@ GIL-bound kernel.
 Endpoints (JSON over HTTP):
 
 - ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
-  "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8} ->
+  "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8,
+  "exclude": "noise terms", "positions": false} ->
   {"results": [{rank, doc_id, score}], "latency_ms": float}.
   Alternatively {"q": '<freeform>', "k": 10} with the minimal query
   syntax (``"exact phrase"``, ``a AND b``, ``a NEAR/3 b``,
@@ -56,10 +57,12 @@ def _worker_init(index_dir) -> None:
     _WORKER_SRV = IndexServer(index_dir)
 
 
-def _worker_search(qt: str, lang: str, k: int, mode: str, slop: int) -> list:
-    return _WORKER_SRV.search(qt, lang, k, mode, slop=slop).to_dict(
-        orient="records"
-    )
+def _worker_search(qt: str, lang: str, k: int, mode: str, slop: int,
+                   exclude: str = "", positions: bool = False) -> list:
+    return _WORKER_SRV.search(
+        qt, lang, k, mode, slop=slop, exclude_text=exclude,
+        with_positions=positions,
+    ).to_dict(orient="records")
 
 
 # workers="auto" gate: below this on-disk index size the in-process kernel
@@ -296,21 +299,28 @@ class ServeDaemon:
                             )
                             qt, lang = p.query_text, p.lang
                             mode, slop = p.mode, p.slop
+                            exclude = p.exclude
                         else:
                             qt = req.get("query_text", "")
                             lang = req.get("lang", "python")
                             mode = req.get("mode", "OR")
                             slop = int(req.get("slop", 8))
+                            exclude = str(req.get("exclude", ""))
+                        positions = bool(req.get("positions", False))
                         if daemon._pool is not None:
                             compute = lambda: daemon._pool.submit(  # noqa: E731
-                                _worker_search, qt, lang, k, mode, slop
+                                _worker_search, qt, lang, k, mode, slop,
+                                exclude, positions,
                             ).result()
                         else:
                             compute = lambda: daemon.server.search(  # noqa: E731
-                                qt, lang, k, mode, slop=slop
+                                qt, lang, k, mode, slop=slop,
+                                exclude_text=exclude,
+                                with_positions=positions,
                             ).to_dict(orient="records")
                         records = daemon._results.get_or_compute(
-                            (qt, lang, k, mode, slop), compute
+                            (qt, lang, k, mode, slop, exclude, positions),
+                            compute,
                         )
                     elif self.path == "/search_batch":
                         # batch is the bulk surface; callers vary payloads,

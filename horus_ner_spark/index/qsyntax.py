@@ -18,6 +18,14 @@ silent reinterpretation):
                                natural-language queries stay OR).
 - ``foo NEAR/3 bar``        -> mode=NEAR, slop=3 (``NEAR`` alone uses the
                                caller's default slop).
+- ``foo -bar`` / ``foo NOT bar`` / ``foo AND NOT bar``
+                            -> exclusion: documents containing ``bar`` are
+                               dropped before scoring (any mode, including
+                               a quoted phrase followed by ``-term``s).
+                               ``NOT`` consumes the next token; an ``AND``
+                               immediately before a ``NOT`` is absorbed so
+                               the natural ``a AND NOT b`` parses.  A query
+                               of only exclusions is a loud error.
 - anything else             -> mode=OR over the whitespace terms.
 """
 
@@ -29,6 +37,36 @@ from dataclasses import dataclass
 _LANG_RE = re.compile(r"(?:^|\s)lang:([A-Za-z0-9_+-]+)(?=\s|$)")
 _NEAR_RE = re.compile(r"^NEAR(?:/(\d+))?$")
 _QUOTED_RE = re.compile(r'^"(.*)"$', re.S)
+_QUOTED_PREFIX_RE = re.compile(r'^"([^"]*)"(.*)$', re.S)
+
+
+def _extract_exclusions(toks: list[str]) -> tuple[list[str], list[str]]:
+    """Strip ``-term`` tokens and ``NOT term`` pairs from a token stream
+    BEFORE operator parsing; returns (kept tokens, excluded terms).  An
+    ``AND``/``NEAR`` immediately before a ``NOT`` is absorbed so the
+    natural boolean ``a AND NOT b`` parses to (a, exclude b)."""
+    kept: list[str] = []
+    excluded: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "NOT":
+            if i == len(toks) - 1:
+                raise ValueError("dangling operator 'NOT'")
+            if kept and (kept[-1] == "AND" or _NEAR_RE.match(kept[-1])):
+                kept.pop()
+            nxt = toks[i + 1]
+            excluded.append(nxt[1:] if nxt.startswith("-") and len(nxt) > 1
+                            else nxt)
+            i += 2
+            continue
+        if t.startswith("-") and len(t) > 1:
+            excluded.append(t[1:])
+            i += 1
+            continue
+        kept.append(t)
+        i += 1
+    return kept, excluded
 
 
 @dataclass(frozen=True)
@@ -37,6 +75,7 @@ class ParsedQuery:
     lang: str
     mode: str
     slop: int
+    exclude: str = ""  # space-joined excluded terms ("" = none)
 
 
 def parse_query(
@@ -61,21 +100,31 @@ def parse_query(
     if not text:
         raise ValueError("empty query")
 
-    m = _QUOTED_RE.match(text)
+    m = _QUOTED_PREFIX_RE.match(text)
     if m:
-        phrase = m.group(1).strip()
+        phrase, rest = m.group(1).strip(), m.group(2).strip()
         if not phrase:
             raise ValueError("empty phrase")
-        if '"' in phrase:
-            raise ValueError("nested or unbalanced quotes")
-        return ParsedQuery(phrase, lang, "PHRASE", default_slop)
+        excl: list[str] = []
+        if rest:
+            # a quoted phrase may only be followed by exclusions
+            kept, excl = _extract_exclusions(rest.split())
+            if kept:
+                raise ValueError(
+                    "quotes must wrap the whole query (phrase mode) — "
+                    "mixing a phrase with bare terms is not supported"
+                )
+        return ParsedQuery(phrase, lang, "PHRASE", default_slop,
+                           " ".join(excl))
     if '"' in text:
         raise ValueError(
             "quotes must wrap the whole query (phrase mode) — "
             "mixing a phrase with bare terms is not supported"
         )
 
-    toks = text.split()
+    toks, excluded = _extract_exclusions(text.split())
+    if not toks:
+        raise ValueError("query contains only exclusions — nothing to match")
     ops = []          # ("AND", None) / ("NEAR", slop) at odd positions
     terms = []
     for i, t in enumerate(toks):
@@ -94,7 +143,8 @@ def parse_query(
             terms.append(t)
 
     if not ops:
-        return ParsedQuery(" ".join(terms), lang, "OR", default_slop)
+        return ParsedQuery(" ".join(terms), lang, "OR", default_slop,
+                           " ".join(excluded))
     if len(ops) != len(terms) - 1:
         raise ValueError("operators must separate every term")
     kinds = {o[0] for o in ops}
@@ -110,4 +160,4 @@ def parse_query(
             slop = slops.pop()
         if slop < 1:
             raise ValueError("NEAR slop must be >= 1")
-    return ParsedQuery(" ".join(terms), lang, mode, slop)
+    return ParsedQuery(" ".join(terms), lang, mode, slop, " ".join(excluded))

@@ -53,7 +53,7 @@ from horus_ner_spark.index.build import (
     SPLIT_THRESHOLD,
     IndexPaths,
 )
-from horus_ner_spark.index.codec import decode_block
+from horus_ner_spark.index.codec import decode_block, decode_positions
 from horus_ner_spark.index.qsyntax import parse_query
 from horus_ner_spark.index.query import _SUB_COLS, _dispatch_query, _in_sorted
 
@@ -321,8 +321,42 @@ class IndexServer:
                         dfs[t] -= c
         return dfs, blocks
 
+    def _user_exclude(self, exclude_text: str, lang: str):
+        """Sorted unique doc_ids whose LIVE copy contains ANY term of
+        ``exclude_text`` (the NOT operator's veto set), or None.
+
+        Per segment, an excluded term's postings minus that segment's
+        stale-duplicate docs; union across segments — a doc's live copy
+        lives in exactly one segment, so a stale copy never vetoes.
+        Memory is O(sum df of excluded terms) int64, the same order the
+        scorer pays to decode a query term; postings come from the same
+        block LRU as query terms."""
+        terms = sorted(set(tokenize(exclude_text or "", lang)))
+        if not terms:
+            return None
+        parts = []
+        for t, (_df, b) in self._load_terms(terms).items():
+            for si in b["seg"].unique():
+                sub = b[b["seg"] == si]
+                if not len(sub):
+                    continue
+                docs = np.concatenate([
+                    decode_block(bytes(d), bytes(tv))[0]
+                    for d, tv in zip(sub["doc_ids_vb"], sub["tfs_vb"])
+                ])
+                sd = self._stale.get(int(si))
+                if sd is not None and len(docs):
+                    docs = docs[~_in_sorted(sd, docs)]
+                parts.append(docs)
+        if not parts:
+            return None
+        out = np.unique(np.concatenate(parts))
+        return out if len(out) else None
+
     def search(self, query_text: str, lang: str = "python", k: int = 10,
-               mode: str = "OR", slop: int = 8) -> pd.DataFrame:
+               mode: str = "OR", slop: int = 8,
+               exclude_text: str = "",
+               with_positions: bool = False) -> pd.DataFrame:
         """Top-k for one query -> (rank, doc_id, score).
 
         ``mode="AND"`` requires every query term to match (conjunctive
@@ -330,10 +364,18 @@ class IndexServer:
         ``mode="PHRASE"`` requires the query's token sequence to appear
         contiguously (positional index).  ``mode="NEAR"`` requires every
         distinct term within a token window of span <= ``slop``, any
-        order (positional proximity)."""
+        order (positional proximity).  ``exclude_text`` (the NOT
+        operator) drops every document containing ANY of its terms
+        before scoring, in every mode.  ``with_positions`` adds a
+        ``positions`` column: per hit, {term: [token positions]} of the
+        query terms that occur in it (match_positions)."""
         terms = sorted(set(tokenize(query_text, lang)))
-        empty = pd.DataFrame(columns=["rank", "doc_id", "score"])
+        cols = ["rank", "doc_id", "score"] + (
+            ["positions"] if with_positions else []
+        )
+        empty = pd.DataFrame(columns=cols)
         mode = _valid_mode(mode)
+        user_exclude = self._user_exclude(exclude_text, lang)
         if mode in ("PHRASE", "NEAR"):
             if not terms:
                 return empty
@@ -345,17 +387,62 @@ class IndexServer:
                 {t: blocks[blocks["term"] == t] for t in terms}, dfs, k,
                 mode, phrase=tokenize(query_text, lang),
                 slop=slop if mode == "NEAR" else 0,
+                user_exclude=user_exclude,
             )
-            return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
-        loaded = self._load_terms(terms)
-        if mode == "AND" and len(loaded) < len(terms):
-            return empty  # some term has no (live) postings at all
-        rows = self._run(
-            {t: b for t, (_df, b) in loaded.items()},
-            {t: df for t, (df, _b) in loaded.items()},
-            k, mode, require_all=len(terms),
-        )
-        return pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+        else:
+            loaded = self._load_terms(terms)
+            if mode == "AND" and len(loaded) < len(terms):
+                return empty  # some term has no (live) postings at all
+            rows = self._run(
+                {t: b for t, (_df, b) in loaded.items()},
+                {t: df for t, (df, _b) in loaded.items()},
+                k, mode, require_all=len(terms), user_exclude=user_exclude,
+            )
+        out = pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+        if with_positions:
+            mp = self.match_positions(out["doc_id"], query_text, lang)
+            out["positions"] = [
+                {t: mp[t][d] for t in mp if d in mp[t]}
+                for d in out["doc_id"].astype("int64")
+            ]
+        return out
+
+    def match_positions(self, doc_ids, query_text: str,
+                        lang: str = "python") -> dict:
+        """term -> {doc_id: [token positions]} for the given docs — the
+        span-annotation surface (the reference's product is per-token
+        span annotation over input text, webservice/rest.py:47-61; for an
+        index the analog is "where in each hit did each query term
+        match", which is also what a snippet/highlighter consumes).
+
+        Positions are token indices in the document's emitted token
+        stream (the same indices PHRASE/NEAR match on).  Multi-segment:
+        a doc's positions come from its LIVE copy only (stale later
+        copies are skipped, mirroring first-wins serving)."""
+        terms = sorted(set(tokenize(query_text, lang)))
+        out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if not terms or not len(want):
+            return out
+        _dfs, blocks = self._fetch(terms, _BLOCK_COLS + ["pos_vb"])
+        lo, hi = int(want[0]), int(want[-1])
+        blocks = blocks[
+            (blocks["max_doc_id"] >= lo) & (blocks["min_doc_id"] <= hi)
+        ]
+        for row in blocks.itertuples():
+            d, tf = decode_block(bytes(row.doc_ids_vb), bytes(row.tfs_vb))
+            hit = _in_sorted(want, d)
+            sd = self._stale.get(int(row.seg))
+            if sd is not None:
+                hit &= ~_in_sorted(sd, d)  # stale copy: not the live source
+            idx = np.flatnonzero(hit)
+            if not len(idx):
+                continue
+            pos, starts = decode_positions(bytes(row.pos_vb), tf)
+            tgt = out[row.term]
+            for i in idx:
+                tgt[int(d[i])] = pos[starts[i]:starts[i + 1]].tolist()
+        return out
 
     def search_text(self, text: str, k: int = 10,
                     default_lang: str = "python",
@@ -367,7 +454,8 @@ class IndexServer:
         (reference: webservice/rest.py:47-61 takes freeform text)."""
         p = parse_query(text, default_lang=default_lang,
                         default_slop=default_slop)
-        return self.search(p.query_text, p.lang, k, p.mode, slop=p.slop)
+        return self.search(p.query_text, p.lang, k, p.mode, slop=p.slop,
+                           exclude_text=p.exclude)
 
     def _get_pool(self) -> ThreadPoolExecutor:
         with self._pool_lock:
@@ -530,7 +618,7 @@ class IndexServer:
         return res
 
     def _run(self, term_blocks, term_df, k, mode, phrase=None, require_all=0,
-             slop=0):
+             slop=0, user_exclude=None):
         """Mode dispatch, segment-aware: single-segment serves straight from
         the shared kernel dispatcher (hot conjunctions fanned over range
         buckets — _dispatch_fanned); multi-segment runs the SAME dispatcher
@@ -538,11 +626,12 @@ class IndexServer:
         the sorted-disjoint invariant) with stale-duplicate exclusion, then
         merges the per-segment top-k lists.  After exclusion no doc can
         appear in two segments, so the merge is a plain (score desc, doc_id
-        asc) resort."""
+        asc) resort.  ``user_exclude`` (the NOT operator's sorted doc-id
+        veto set) unions with each segment's stale set."""
         if self._single_segment:
             return self._dispatch_fanned(
                 term_blocks, term_df, k, mode, phrase, require_all,
-                exclude=None, slop=slop,
+                exclude=user_exclude, slop=slop,
             )
         seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
@@ -554,9 +643,13 @@ class IndexServer:
                 for t, b in term_blocks.items()
                 if (b["seg"] == si).any()
             }
+            ex = self._stale.get(si)
+            if user_exclude is not None:
+                ex = (user_exclude if ex is None
+                      else np.union1d(ex, user_exclude))
             for _r, d, s in self._dispatch_fanned(
                 sub, term_df, k, mode, phrase, require_all,
-                exclude=self._stale.get(si), slop=slop,
+                exclude=ex, slop=slop,
             ):
                 pooled.append((s, d))
         pooled.sort(key=lambda e: (-e[0], e[1]))
@@ -586,10 +679,14 @@ class IndexServer:
         frames = []
         for q in queries:
             qid = q["query_id"]
-            if modes[qid] in ("PHRASE", "NEAR"):
+            if modes[qid] in ("PHRASE", "NEAR") or q.get("exclude"):
+                # positional modes bypass the batch fetch by design;
+                # queries with a NOT veto route per-query too (the veto
+                # set is query-specific, not batchable)
                 res = self.search(
                     q["query_text"], q.get("lang", "python"),
                     q.get("k", 10), modes[qid], slop=int(q.get("slop", 8)),
+                    exclude_text=q.get("exclude", ""),
                 )
                 if len(res):
                     frames.append(
