@@ -86,6 +86,18 @@ def _query_terms(queries: list[dict]) -> list[dict]:
     return rows
 
 
+def _exclude_terms(queries: list[dict]) -> list[dict]:
+    """Tokenized NOT-operator terms per query (``q["exclude"]``, optional):
+    a document containing ANY of them is vetoed before scoring."""
+    rows = []
+    for q in queries:
+        for term in sorted(
+            set(tokenize(q.get("exclude", "") or "", q.get("lang", "python")))
+        ):
+            rows.append({"query_id": q["query_id"], "term": term})
+    return rows
+
+
 def _bm25_expr(n_docs: int, avgdl: float):
     """BM25 as a JVM-side Catalyst expression (whole-stage codegen; no
     Python in the brute-force hot path)."""
@@ -129,6 +141,18 @@ def bm25_bruteforce(
         scored.groupBy("query_id", "doc_id")
         .agg(F.bround(F.sum("contrib"), bm25.QUANT).alias("score"))
     )
+    ex_rows = _exclude_terms(queries)
+    if ex_rows:
+        # NOT operator: veto (query_id, doc_id) pairs whose doc contains any
+        # excluded term.  The veto set is per-query-tiny (a term's postings),
+        # so it broadcasts; the anti-join runs before ranking.
+        exq = spark.createDataFrame(ex_rows, "query_id int, term string")
+        veto = (
+            tf.join(F.broadcast(exq), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        agg = agg.join(F.broadcast(veto), ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
@@ -1011,7 +1035,14 @@ def bm25_wand(
     Per-query ``mode``: "OR" (default, disjunctive), "AND" (every term must
     match), "PHRASE" (contiguous token sequence via the positional index),
     "NEAR" (every distinct term within a token window of span <=
-    ``slop``, default 8, any order — positional proximity)."""
+    ``slop``, default 8, any order — positional proximity).
+
+    Per-query ``exclude`` (the NOT operator, optional): documents containing
+    ANY of its terms are vetoed before scoring, in every mode.  Excluded
+    terms' postings ride the same pruned block fetch as scoring terms
+    (flagged ``excl=1``); the kernel task decodes them into a sorted doc-id
+    veto array — O(sum df of excluded terms) per query, the same order the
+    scorer pays to decode one query term."""
     from horus_ner_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(spark)  # WAND kernel unpickles on workers
@@ -1019,6 +1050,7 @@ def bm25_wand(
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     qt_rows = _query_terms(queries)
+    ex_rows = _exclude_terms(queries)
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
     phrases = {
@@ -1034,7 +1066,7 @@ def bm25_wand(
     _validate_slops(slops)  # fail before any Spark job launches
     if not qt_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    terms = sorted({r["term"] for r in qt_rows})
+    terms = sorted({r["term"] for r in qt_rows} | {r["term"] for r in ex_rows})
 
     # partition pruning: compute the pbuckets the query terms live in with
     # the same hash the build wrote them with (crc32; driver-side, no job).
@@ -1051,7 +1083,11 @@ def bm25_wand(
         .select("term", "df")
         .collect()
     }
-    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    qt = spark.createDataFrame(
+        [{**r, "excl": 0} for r in qt_rows]
+        + [{**r, "excl": 1} for r in ex_rows],
+        "query_id int, term string, excl int",
+    )
     # positions are the largest per-posting payload — read/ship them only
     # when the batch actually contains a PHRASE query (column pruning
     # reaches the parquet scan)
@@ -1063,7 +1099,7 @@ def bm25_wand(
         .filter(F.col("pbucket").isin(buckets))     # directory-level pruning
         .filter(F.col("term").isin(terms))          # row-group pruning
         .join(F.broadcast(qt), "term")
-        .select("query_id", *cols)
+        .select("query_id", "excl", *cols)
     )
 
     n_query_terms = {
@@ -1073,13 +1109,21 @@ def bm25_wand(
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
+        ex = pdf[pdf["excl"] == 1]
+        user_exclude = None
+        if len(ex):
+            user_exclude = np.unique(np.concatenate([
+                decode_block(bytes(d), bytes(tv))[0]
+                for d, tv in zip(ex["doc_ids_vb"], ex["tfs_vb"])
+            ]))
+            pdf = pdf[pdf["excl"] == 0]
         term_blocks = {t: g for t, g in pdf.groupby("term")}
         rows = _dispatch_query(
             term_blocks, term_df, ks.get(qid, 10), n_docs, avgdl,
             modes.get(qid, "OR"), phrases.get(qid), n_query_terms.get(qid, 0),
             or_kernel=_wand_one_query if force_wand else _score_one_query,
-            slop=slops.get(qid, 0),
-        )
+            slop=slops.get(qid, 0), exclude=user_exclude,
+        ) if term_blocks else []
         return pd.DataFrame(
             [{"query_id": qid, "rank": r, "doc_id": d, "score": s} for r, d, s in rows],
             columns=["query_id", "rank", "doc_id", "score"],
@@ -1174,6 +1218,13 @@ def bm25_distributed(
             raise ValueError(
                 f"unknown query mode {q.get('mode')!r} (query_id "
                 f"{q.get('query_id')}); expected OR, AND, PHRASE or NEAR"
+            )
+        if q.get("exclude"):
+            # loud, not silent: a dropped NOT veto would change results
+            raise ValueError(
+                "bm25_distributed does not support the NOT operator "
+                f"(exclude, query_id {q.get('query_id')}); route the query "
+                "through bm25_wand or the serve surface"
             )
     if or_plan not in ("auto", "agg", "fanout"):
         raise ValueError(

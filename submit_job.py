@@ -53,6 +53,12 @@ def main() -> None:
                    choices=["OR", "AND", "PHRASE", "NEAR"])
     q.add_argument("--slop", type=int, default=8,
                    help="NEAR window span in tokens")
+    q.add_argument("--exclude", default="",
+                   help="NOT terms: drop docs containing any of these")
+    q.add_argument("--syntax", action="store_true",
+                   help="treat --query as freeform query syntax "
+                        '("phrase", a AND b, a NEAR/3 b, -term, lang:xx); '
+                        "overrides --mode/--lang/--slop/--exclude")
     q.add_argument("--export", choices=["csv", "json"],
                    help="also write results via the export sinks")
     q.add_argument("--out", help="export directory (required with --export)")
@@ -106,11 +112,19 @@ def main() -> None:
             "elapsed_s": round(time.perf_counter() - t0, 3), "totals": totals,
         }))
     elif args.cmd == "query":
-        rdf = bm25_wand(
-            spark, IndexPaths(args.index),
-            [{"query_id": 0, "query_text": args.query, "lang": args.lang,
-              "k": args.k, "mode": args.mode, "slop": args.slop}],
-        )
+        if args.syntax:
+            from horus_ner_spark.index.qsyntax import parse_query
+
+            pq = parse_query(args.query, default_lang=args.lang,
+                             default_slop=args.slop)
+            qdict = {"query_id": 0, "query_text": pq.query_text,
+                     "lang": pq.lang, "k": args.k, "mode": pq.mode,
+                     "slop": pq.slop, "exclude": pq.exclude}
+        else:
+            qdict = {"query_id": 0, "query_text": args.query,
+                     "lang": args.lang, "k": args.k, "mode": args.mode,
+                     "slop": args.slop, "exclude": args.exclude}
+        rdf = bm25_wand(spark, IndexPaths(args.index), [qdict])
         res = rdf.collect()  # single execution; export re-uses the rows
         if args.export:
             if not args.out:
@@ -128,7 +142,7 @@ def main() -> None:
         for r in res:
             print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}))
         print(json.dumps({
-            "cmd": "query", "mode": args.mode, "n_results": len(res),
+            "cmd": "query", "mode": qdict["mode"], "n_results": len(res),
             "export": args.export, "out": args.out,
             "elapsed_s": round(time.perf_counter() - t0, 3),
         }))

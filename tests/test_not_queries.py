@@ -175,3 +175,63 @@ def test_search_batch_per_query_exclude(spark, sf001_index):
                                 q0.get("k", 10), exclude_text=excl))
     assert [(int(r.rank), int(r.doc_id), float(r.score))
             for r in a.itertuples()] == expected
+
+
+# ───────────────── Spark batch path (bm25_wand + CLI dict surface) ─────────
+
+
+def _spark_rows(df):
+    return [(int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+            for r in df.collect()]
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND", "PHRASE", "NEAR"])
+def test_wand_exclude_equals_serve_exclude(spark, sf001_index, mode):
+    """bm25_wand's per-query "exclude" matches IndexServer's exclude_text
+    (itself validated against the independent tf-table post-filter oracle
+    above), per mode."""
+    from horus_ner_spark.index.query import bm25_wand
+
+    _cp, paths = sf001_index
+    srv = IndexServer(paths.root)
+    text, slop = _MODE_QUERIES[mode]
+    lang, excl = "python", "stream"
+    rdf = bm25_wand(spark, paths, [
+        {"query_id": 0, "query_text": text, "lang": lang, "k": 10,
+         "mode": mode, "slop": slop, "exclude": excl},
+    ])
+    got = _spark_rows(rdf)
+    assert len(got) > 0
+    expected = _rows(srv.search(text, lang, k=10, mode=mode, slop=slop,
+                                exclude_text=excl))
+    assert got == expected
+
+
+def test_wand_exclude_rank_identical_to_bruteforce(spark, sf001_index):
+    """OR-mode exclude: the WAND kernel path and the pure-DataFrame
+    brute-force path (anti-join veto) stay rank-identical, and force_wand
+    agrees with the hybrid dispatcher."""
+    from horus_ner_spark.index.query import bm25_bruteforce, bm25_wand
+
+    _cp, paths = sf001_index
+    qs = [{**q, "exclude": "stream"} for q in query_set()
+          if q.get("mode", "OR") == "OR"][:4]
+    assert qs
+    wand = _spark_rows(bm25_wand(spark, paths, qs))
+    brute = _spark_rows(bm25_bruteforce(spark, paths, qs))
+    forced = _spark_rows(bm25_wand(spark, paths, qs, force_wand=True))
+    assert len(wand) > 0
+    assert wand == brute == forced
+
+
+def test_wand_exclude_oov_noop_and_distributed_raises(spark, sf001_index):
+    from horus_ner_spark.index.query import bm25_distributed, bm25_wand
+
+    _cp, paths = sf001_index
+    q = dict(query_set()[0])
+    base = _spark_rows(bm25_wand(spark, paths, [q]))
+    noop = _spark_rows(bm25_wand(
+        spark, paths, [{**q, "exclude": "zzz_not_in_vocab_qq"}]))
+    assert noop == base
+    with pytest.raises(ValueError, match="NOT operator"):
+        bm25_distributed(spark, paths, [{**q, "exclude": "stream"}])
