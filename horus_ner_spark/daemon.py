@@ -18,7 +18,8 @@ Endpoints (JSON over HTTP):
 
 - ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
   "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8,
-  "exclude": "noise terms", "positions": false} ->
+  "exclude": "noise terms", "positions": false,
+  "snippets": false, "context": 1} ->
   {"results": [{rank, doc_id, score}], "latency_ms": float}.
   Alternatively {"q": '<freeform>', "k": 10} with the minimal query
   syntax (``"exact phrase"``, ``a AND b``, ``a NEAR/3 b``,
@@ -185,6 +186,7 @@ class ServeDaemon:
         host: str = "127.0.0.1",
         port: int = 0,
         workers: int | str = 0,
+        corpus: str | None = None,
     ) -> None:
         """``workers`` > 0 scores cache-missing ``/search`` requests on a
         pool of WORKER PROCESSES (spawn context), one IndexServer per
@@ -205,6 +207,10 @@ class ServeDaemon:
         once the on-disk index passes the size gate."""
         workers = _resolve_workers(workers, index_dir)
         self.server = IndexServer(index_dir)
+        # corpus table path enables {"snippets": true} on /search; snippet
+        # extraction is top-k-bounded so it runs in the parent process
+        # even when a worker pool scores the query
+        self.corpus = corpus
         self._pool = None
         if workers > 0:
             import multiprocessing as mp
@@ -322,6 +328,29 @@ class ServeDaemon:
                             (qt, lang, k, mode, slop, exclude, positions),
                             compute,
                         )
+                        if req.get("snippets"):
+                            if not daemon.corpus:
+                                raise ValueError(
+                                    "snippets need the daemon started "
+                                    "with a corpus table path (--corpus)"
+                                )
+                            sn = daemon.server.snippets(
+                                qt, [r["doc_id"] for r in records],
+                                daemon.corpus, lang=lang,
+                                context=int(req.get("context", 1)),
+                            )
+                            by_doc = {
+                                int(s.doc_id): {
+                                    "line_no": int(s.line_no),
+                                    "n_query_terms": int(s.n_query_terms),
+                                    "snippet": s.snippet,
+                                }
+                                for s in sn.itertuples()
+                            }
+                            records = [
+                                {**r, **by_doc.get(int(r["doc_id"]), {})}
+                                for r in records
+                            ]
                     elif self.path == "/search_batch":
                         # batch is the bulk surface; callers vary payloads,
                         # so it goes straight to the kernel uncached

@@ -179,6 +179,7 @@ class IndexServer:
         self.n_docs = n_docs
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
         self._single_segment = len(dirs) == 1
+        self._dirs = dirs
         self.n_pbuckets = n_pbuckets
         # hot-conjunctive fan-out (round-3 verdict #1): queries in
         # ``fan_modes`` with a hot term (df > split_threshold) run one
@@ -443,6 +444,125 @@ class IndexServer:
             for i in idx:
                 tgt[int(d[i])] = pos[starts[i]:starts[i + 1]].tolist()
         return out
+
+    def doc_keys(self, doc_ids) -> pd.DataFrame:
+        """(doc_id, repo, path, commit, lang, content_sha256) for the LIVE
+        copy of each requested doc — column-complete, doc_id-filtered
+        parquet reads of each segment's docs table (row-group statistics
+        prune on doc_id), stale later copies dropped."""
+        want = [int(x) for x in
+                np.unique(np.asarray(list(doc_ids), dtype=np.int64))]
+        if not want:
+            return pd.DataFrame(
+                columns=["doc_id", "repo", "path", "commit", "lang",
+                         "content_sha256"])
+        frames = []
+        for si, d in enumerate(self._dirs):
+            t = pq.read_table(
+                IndexPaths(d).docs, filters=[("doc_id", "in", want)]
+            ).to_pandas()
+            sd = self._stale.get(si)
+            if sd is not None and len(t):
+                t = t[~_in_sorted(sd, t["doc_id"].to_numpy())]
+            frames.append(t)
+        return pd.concat(frames, ignore_index=True)
+
+    def snippets(self, query_text: str, doc_ids, corpus_path: str,
+                 lang: str = "python", context: int = 1) -> pd.DataFrame:
+        """Best-matching source LINE per hit doc, with ``context`` lines
+        either side — the code-search result surface (the reference's
+        product is annotated spans over the input text,
+        webservice/rest.py:47-61; for source code the natural span unit
+        is the line).  Returns (doc_id, repo, path, line_no 1-based,
+        n_query_terms, snippet).
+
+        Scale shape: everything is TOP-K-BOUNDED.  The hit docs' keys come
+        from doc_id-filtered docs-table reads (``doc_keys``); their content
+        comes from the corpus table via parquet predicate pushdown on
+        repo/path membership — never a corpus scan.  Each fetched row's
+        content sha256 is verified against the index's stored hash (the
+        per-row invariant), so a drifted corpus fails loudly instead of
+        highlighting the wrong text.  Line scoring runs the same Arrow
+        tokenizer kernel as the build (one batch over all lines of all
+        hits); the best line is the one matching the most DISTINCT query
+        terms, earliest line on ties."""
+        import hashlib
+
+        import pyarrow as pa
+
+        from horus_ner_spark.functions.tokenizer import tokenize_arrow_batch
+
+        terms = set(tokenize(query_text, lang))
+        out_cols = ["doc_id", "repo", "path", "line_no", "n_query_terms",
+                    "snippet"]
+        keys = self.doc_keys(doc_ids)
+        if not len(keys) or not terms:
+            return pd.DataFrame(columns=out_cols)
+        content = (
+            pads.dataset(corpus_path)
+            .to_table(
+                filter=(pads.field("repo").isin(keys["repo"].unique())
+                        & pads.field("path").isin(keys["path"].unique())),
+                columns=["repo", "path", "commit", "content"],
+            )
+            .to_pandas()
+            .drop_duplicates(["repo", "path", "commit"])
+        )
+        hits = keys.merge(content, on=["repo", "path", "commit"], how="left")
+        missing = hits[hits["content"].isna()]
+        if len(missing):
+            raise RuntimeError(
+                f"{len(missing)} hit doc(s) absent from corpus "
+                f"{corpus_path!r} (first: "
+                f"{missing.iloc[0][['repo', 'path', 'commit']].to_dict()}) "
+                "— snippets need the index's source table"
+            )
+        for r in hits.itertuples():
+            got = hashlib.sha256(r.content.encode("utf-8")).hexdigest()
+            if got != r.content_sha256:
+                raise RuntimeError(
+                    f"content sha256 mismatch for doc_id {int(r.doc_id)} "
+                    f"({r.repo}/{r.path}@{r.commit}): corpus row no longer "
+                    "matches the indexed content"
+                )
+        # flatten all hits' lines into ONE tokenizer kernel batch
+        doc_lines = [r.content.split("\n") for r in hits.itertuples()]
+        flat = [ln for lines in doc_lines for ln in lines]
+        owner = np.repeat(np.arange(len(doc_lines)),
+                          [len(ls) for ls in doc_lines])
+        line_no = np.concatenate(
+            [np.arange(1, len(ls) + 1) for ls in doc_lines])
+        toks, tok_line, _pos, _lens = tokenize_arrow_batch(
+            pa.array(flat, type=pa.string()),
+            pa.array(hits["lang"].to_numpy()[owner], type=pa.string()),
+        )
+        tok = toks.to_pandas()
+        m = tok.isin(terms).to_numpy()
+        per_line = (
+            pd.DataFrame({"li": tok_line[m], "term": tok.to_numpy()[m]})
+            .groupby("li")["term"].nunique()
+        )
+        scores = np.zeros(len(flat), dtype=np.int64)
+        scores[per_line.index.to_numpy()] = per_line.to_numpy()
+        # best line per doc: max distinct terms, earliest on ties
+        order = np.lexsort((line_no, -scores, owner))
+        first = order[np.searchsorted(owner[order], np.arange(len(doc_lines)))]
+        rows = []
+        for di, fi in enumerate(first):
+            if scores[fi] == 0:
+                continue  # no query term on any line (e.g. cross-line NEAR)
+            ln = int(line_no[fi])
+            lines = doc_lines[di]
+            lo, hi = max(0, ln - 1 - context), min(len(lines), ln + context)
+            rows.append({
+                "doc_id": int(hits["doc_id"].iloc[di]),
+                "repo": hits["repo"].iloc[di],
+                "path": hits["path"].iloc[di],
+                "line_no": ln,
+                "n_query_terms": int(scores[fi]),
+                "snippet": "\n".join(lines[lo:hi]),
+            })
+        return pd.DataFrame(rows, columns=out_cols)
 
     def search_text(self, text: str, k: int = 10,
                     default_lang: str = "python",

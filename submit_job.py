@@ -71,6 +71,8 @@ def main() -> None:
                    help="live tier set (oldest first) instead of --index")
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=8765)
+    s.add_argument("--corpus", help="source corpus table path; enables "
+                                    '{"snippets": true} on /search')
     args = p.parse_args()
 
     if args.cmd == "serve":
@@ -79,7 +81,8 @@ def main() -> None:
         from horus_ner_spark.daemon import ServeDaemon
 
         d = ServeDaemon(
-            args.index or args.segments, host=args.host, port=args.port
+            args.index or args.segments, host=args.host, port=args.port,
+            corpus=args.corpus,
         ).start()
         print(json.dumps({"cmd": "serve", "host": d.host, "port": d.port,
                           "n_docs": d.server.n_docs}), flush=True)
