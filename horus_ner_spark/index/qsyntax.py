@@ -26,6 +26,12 @@ silent reinterpretation):
                                immediately before a ``NOT`` is absorbed so
                                the natural ``a AND NOT b`` parses.  A query
                                of only exclusions is a loud error.
+- ``ser* cache`` / ``-tmp*``-> a trailing-``*`` token passes through as a
+                               prefix wildcard (positive term or
+                               exclusion); expansion happens in the
+                               serving layer (IndexServer.expand_prefix
+                               — dictionary range scan), not here, so
+                               the parser stays storage-free.
 - anything else             -> mode=OR over the whitespace terms.
 """
 

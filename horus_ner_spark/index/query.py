@@ -78,22 +78,152 @@ def queries_to_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
 
 def _query_terms(queries: list[dict]) -> list[dict]:
     """Tokenize + dedupe query terms driver-side (queries are tiny by
-    definition; the corpus never is)."""
+    definition; the corpus never is).  A query may carry a pre-normalized
+    ``terms`` list instead (the prefix-wildcard rewrite emits dictionary
+    terms, which must NOT be re-tokenized — identifier splitting is not
+    idempotent over arbitrary dictionary terms)."""
     rows = []
     for q in queries:
-        for term in sorted(set(tokenize(q["query_text"], q.get("lang", "python")))):
+        if "terms" in q:
+            terms = sorted(set(q["terms"]))
+        else:
+            terms = sorted(set(tokenize(q["query_text"], q.get("lang", "python"))))
+        for term in terms:
             rows.append({"query_id": q["query_id"], "term": term})
     return rows
 
 
+def expand_prefix_spark(
+    spark: SparkSession,
+    paths: IndexPaths,
+    stem: str,
+    lang: str = "python",
+    max_expansions: int = 32,
+) -> tuple[list[str], bool]:
+    """Expand a trailing-``*`` prefix stem against the term dictionary via
+    a Spark scan -> (terms, truncated) — the bulk-path twin of
+    IndexServer.expand_prefix (same normalization, same highest-df /
+    term-asc selection, same cap).
+
+    The filter is ``startswith`` on the term column: Catalyst pushes it to
+    the parquet scan as a StringStartsWith pushed filter, and the build
+    writes term_stats term-sorted inside each pbucket partition
+    (build.py stage D), so row-group statistics prune the read to the
+    matching dictionary slice.  The collect is bounded by
+    ``max_expansions`` rows."""
+    toks = tokenize(stem, lang)
+    if len(toks) != 1:
+        raise ValueError(
+            f"prefix stem {stem!r} normalizes to {len(toks)} index "
+            f"sub-tokens {toks}; query a sub-token prefix instead"
+        )
+    s = toks[0]
+    if len(s) < 2:
+        raise ValueError(
+            f"prefix stem {s!r} shorter than 2 chars would scan an "
+            "O(vocabulary) dictionary slice"
+        )
+    rows = (
+        spark.read.parquet(paths.term_stats)
+        .filter(F.col("term").startswith(s))
+        .groupBy("term").agg(F.sum("df").alias("df"))  # per-segment rows sum
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions + 1)  # +1: detect truncation without a count
+        .collect()
+    )
+    return [r["term"] for r in rows[:max_expansions]], len(rows) > max_expansions
+
+
+def rewrite_prefix_queries(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[dict],
+    max_expansions: int = 32,
+) -> list[dict]:
+    """Rewrite prefix-wildcard queries for the bulk OR surfaces
+    (bm25_bruteforce / bm25_wand / bm25_distributed): each query whose
+    text contains trailing-``*`` tokens gets a pre-normalized ``terms``
+    list — its plain tokens plus every expansion (Lucene multi-term OR
+    semantics).  A wildcard in ``q["exclude"]`` expands to a
+    pre-normalized ``exclude_terms`` list (NOT is a veto, so a capped
+    expansion would silently under-veto — truncation there is a loud
+    error).  Non-wildcard queries pass through untouched.  Grouped
+    AND-with-prefix is a serving-plane feature (IndexServer.search);
+    the bulk rewrite is OR-only and raises on other modes."""
+
+    def _split(text: str) -> tuple[list[str], list[str]]:
+        plain: list[str] = []
+        stems: list[str] = []
+        for tok in text.split():
+            if tok.endswith("*") and len(tok) > 1 and "*" not in tok[:-1]:
+                stems.append(tok[:-1])
+            elif "*" in tok:
+                raise ValueError(
+                    f"wildcard {tok!r}: '*' is supported only as a "
+                    "single trailing character (prefix query)"
+                )
+            else:
+                plain.append(tok)
+        return plain, stems
+
+    out = []
+    for q in queries:
+        text = q["query_text"]
+        excl = q.get("exclude", "") or ""
+        if "*" not in text and "*" not in excl:
+            out.append(q)
+            continue
+        lang = q.get("lang", "python")
+        q2 = dict(q)
+        if "*" in text:
+            if q.get("mode", "OR").upper() != "OR":
+                raise ValueError(
+                    "bulk prefix rewrite supports OR queries only; grouped "
+                    "AND-with-prefix runs on the serving path "
+                    "(IndexServer.search)"
+                )
+            plain, stems = _split(text)
+            terms = set(tokenize(" ".join(plain), lang))
+            for st in stems:
+                exp, _trunc = expand_prefix_spark(
+                    spark, paths, st, lang, max_expansions
+                )
+                terms.update(exp)
+            q2["terms"] = sorted(terms)
+        if "*" in excl:
+            eplain, estems = _split(excl)
+            ex_terms = set(tokenize(" ".join(eplain), lang))
+            for st in estems:
+                exp, trunc = expand_prefix_spark(
+                    spark, paths, st, lang, max_expansions
+                )
+                if trunc:
+                    raise ValueError(
+                        f"exclusion prefix {st + '*'!r} matches more than "
+                        f"{max_expansions} dictionary terms; NOT must veto "
+                        "exactly — use a longer prefix"
+                    )
+                ex_terms.update(exp)
+            q2["exclude_terms"] = sorted(ex_terms)
+        out.append(q2)
+    return out
+
+
 def _exclude_terms(queries: list[dict]) -> list[dict]:
     """Tokenized NOT-operator terms per query (``q["exclude"]``, optional):
-    a document containing ANY of them is vetoed before scoring."""
+    a document containing ANY of them is vetoed before scoring.  A query
+    may carry a pre-normalized ``exclude_terms`` list instead (the
+    prefix-wildcard rewrite emits dictionary terms, never re-tokenized)."""
     rows = []
     for q in queries:
-        for term in sorted(
-            set(tokenize(q.get("exclude", "") or "", q.get("lang", "python")))
-        ):
+        if "exclude_terms" in q:
+            terms = sorted(set(q["exclude_terms"]))
+        else:
+            terms = sorted(
+                set(tokenize(q.get("exclude", "") or "",
+                             q.get("lang", "python")))
+            )
+        for term in terms:
             rows.append({"query_id": q["query_id"], "term": term})
     return rows
 
@@ -424,6 +554,7 @@ def _exhaustive_one_query(
     avgdl: float,
     require_all: int = 0,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
     doc_range: tuple[int, int] | None = None,
     decoded: dict | None = None,
 ) -> list[tuple[int, int, float]]:
@@ -444,6 +575,13 @@ def _exhaustive_one_query(
     ``require_all=n`` enables conjunctive (AND) semantics: only documents
     matched by exactly n query terms rank (each term contributes at most
     one posting per doc, so contribution count == matched-term count).
+
+    ``include`` (sorted unique int64) keeps ONLY those documents — the
+    prefix-group conjunctive filter (serve.py: a ``p*`` term in an AND
+    query requires membership in the union of the group's expansions;
+    the allowed-doc set is computed once and applied here, before the
+    per-doc accumulation and top-k selection, so scores of surviving
+    docs are exactly their unfiltered sums).
 
     ``exclude`` (sorted int64) drops documents before scoring — the
     multi-segment serving path's stale-duplicate filter (a doc re-ingested
@@ -478,6 +616,11 @@ def _exhaustive_one_query(
         docs, scores = docs[m], scores[m]
     if exclude is not None and len(exclude):
         m = ~_in_sorted(exclude, docs)
+        docs, scores = docs[m], scores[m]
+    if include is not None:
+        if not len(include):
+            return []
+        m = _in_sorted(include, docs)
         docs, scores = docs[m], scores[m]
     if not len(docs):
         return []
@@ -1219,7 +1362,7 @@ def bm25_distributed(
                 f"unknown query mode {q.get('mode')!r} (query_id "
                 f"{q.get('query_id')}); expected OR, AND, PHRASE or NEAR"
             )
-        if q.get("exclude"):
+        if q.get("exclude") or q.get("exclude_terms"):
             # loud, not silent: a dropped NOT veto would change results
             raise ValueError(
                 "bm25_distributed does not support the NOT operator "

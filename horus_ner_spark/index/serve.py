@@ -55,7 +55,12 @@ from horus_ner_spark.index.build import (
 )
 from horus_ner_spark.index.codec import decode_block, decode_positions
 from horus_ner_spark.index.qsyntax import parse_query
-from horus_ner_spark.index.query import _SUB_COLS, _dispatch_query, _in_sorted
+from horus_ner_spark.index.query import (
+    _SUB_COLS,
+    _dispatch_query,
+    _exhaustive_one_query,
+    _in_sorted,
+)
 
 # columns the OR/AND kernels need; the LRU caches exactly these.  pos_vb
 # (the largest per-posting payload) is fetched only for PHRASE queries,
@@ -76,6 +81,44 @@ _MODES = ("OR", "AND", "PHRASE", "NEAR")
 # queries the fan-out exists for (sf0.8 3-hot-term NEAR: 29.2 s single
 # task) sit far above it.
 FANOUT_MIN_POSTINGS = 1_000_000
+
+# Prefix (trailing-*) wildcard bounds.  The expansion scan is a term-RANGE
+# read of term_stats ([stem, successor(stem))), which the build keeps
+# term-sorted inside each pbucket partition (build.py stage D
+# sortWithinPartitions("term")) — row-group statistics prune it to the
+# matching slice of the dictionary, never the postings.  A 1-char stem
+# would match an O(vocabulary) slice, so it is refused loudly; the
+# expansion list is capped Lucene-style at the highest-df terms (the cap
+# is reported, never silent).
+PREFIX_MIN_LEN = 2
+PREFIX_MAX_EXPANSIONS = 32
+
+
+def _split_prefix_tokens(text: str) -> tuple[str, list[str]]:
+    """Split a raw query string into (plain text, prefix stems).
+
+    A whitespace token ending in ``*`` is a prefix wildcard; the ``*`` is
+    only meaningful in that trailing position (anywhere else is a loud
+    error, never a silent literal)."""
+    plain: list[str] = []
+    stems: list[str] = []
+    for tok in (text or "").split():
+        if tok.endswith("*") and len(tok) > 1:
+            stem = tok[:-1]
+            if "*" in stem:
+                raise ValueError(
+                    f"wildcard {tok!r}: '*' is supported only as a single "
+                    "trailing character (prefix query)"
+                )
+            stems.append(stem)
+        elif "*" in tok:
+            raise ValueError(
+                f"wildcard {tok!r}: '*' is supported only as a single "
+                "trailing character (prefix query)"
+            )
+        else:
+            plain.append(tok)
+    return " ".join(plain), stems
 
 
 def _valid_mode(mode: str) -> str:
@@ -322,17 +365,60 @@ class IndexServer:
                         dfs[t] -= c
         return dfs, blocks
 
-    def _user_exclude(self, exclude_text: str, lang: str):
-        """Sorted unique doc_ids whose LIVE copy contains ANY term of
-        ``exclude_text`` (the NOT operator's veto set), or None.
+    def expand_prefix(self, stem: str, lang: str = "python",
+                      max_expansions: int = PREFIX_MAX_EXPANSIONS,
+                      ) -> tuple[list[str], bool]:
+        """Expand a prefix wildcard stem to index terms -> (terms, truncated).
 
-        Per segment, an excluded term's postings minus that segment's
+        The stem is normalized through the SAME tokenizer as the index
+        (so ``Json*`` expands from ``json``); a stem that splits into
+        multiple sub-tokens is refused loudly — the index stores
+        sub-tokens, so ``parse_json*`` cannot mean one term and silently
+        guessing would return wrong matches.  Expansion reads ONLY the
+        term dictionary (term_stats: one row per term), as a term-range
+        scan pruned by the build's term-sorted row groups; it never
+        touches postings.  Selection is Lucene-style: the
+        ``max_expansions`` highest-df terms (ties by term asc,
+        deterministic), ``truncated=True`` if the cap dropped any.  The
+        df used HERE is the raw per-segment sum (expansion choice only);
+        scoring df is the stale-reconciled value from the normal term
+        fetch path."""
+        toks = tokenize(stem, lang)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix stem {stem!r} normalizes to {len(toks)} index "
+                f"sub-tokens {toks}; prefix queries match single "
+                "dictionary terms — query a sub-token prefix instead"
+            )
+        s = toks[0]
+        if len(s) < PREFIX_MIN_LEN:
+            raise ValueError(
+                f"prefix stem {s!r} shorter than {PREFIX_MIN_LEN} chars "
+                "would scan an O(vocabulary) dictionary slice"
+            )
+        upper = s[:-1] + chr(ord(s[-1]) + 1)  # successor string: covers
+        # every continuation of s (terms are tokenizer output, far below
+        # the max code point)
+        flt = (pads.field("term") >= s) & (pads.field("term") < upper)
+        dfs: dict[str, int] = {}
+        for ts in self._term_stats:
+            for r in ts.to_table(columns=["term", "df"],
+                                 filter=flt).to_pylist():
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        ranked = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _df in ranked[:max_expansions]], \
+            len(ranked) > max_expansions
+
+    def _live_docs_any(self, terms: list[str]):
+        """Sorted unique doc_ids whose LIVE copy contains ANY of ``terms``
+        (already-normalized index terms), or None if no postings.
+
+        Per segment, a term's postings minus that segment's
         stale-duplicate docs; union across segments — a doc's live copy
-        lives in exactly one segment, so a stale copy never vetoes.
-        Memory is O(sum df of excluded terms) int64, the same order the
+        lives in exactly one segment, so a stale copy never counts.
+        Memory is O(sum df of the terms) int64, the same order the
         scorer pays to decode a query term; postings come from the same
         block LRU as query terms."""
-        terms = sorted(set(tokenize(exclude_text or "", lang)))
         if not terms:
             return None
         parts = []
@@ -354,6 +440,28 @@ class IndexServer:
         out = np.unique(np.concatenate(parts))
         return out if len(out) else None
 
+    def _user_exclude(self, exclude_text: str, lang: str):
+        """Sorted unique doc_ids whose LIVE copy contains ANY term of
+        ``exclude_text`` (the NOT operator's veto set), or None.  A
+        trailing-``*`` token vetoes every expansion of the prefix
+        (``-tmp*`` drops docs containing ANY tmp-prefixed term)."""
+        base_text, stems = _split_prefix_tokens(exclude_text or "")
+        terms = set(tokenize(base_text, lang))
+        for st in stems:
+            # NOT is a veto: a capped expansion would silently under-veto
+            # (docs that should be dropped would rank), so an exclusion
+            # prefix matching more than the cap is a loud error, unlike
+            # the best-effort scoring-side cap.
+            exp, trunc = self.expand_prefix(st, lang)
+            if trunc:
+                raise ValueError(
+                    f"exclusion prefix {st + '*'!r} matches more than "
+                    f"{PREFIX_MAX_EXPANSIONS} dictionary terms; NOT must "
+                    "veto exactly — use a longer prefix"
+                )
+            terms.update(exp)
+        return self._live_docs_any(sorted(terms))
+
     def search(self, query_text: str, lang: str = "python", k: int = 10,
                mode: str = "OR", slop: int = 8,
                exclude_text: str = "",
@@ -369,13 +477,38 @@ class IndexServer:
         operator) drops every document containing ANY of its terms
         before scoring, in every mode.  ``with_positions`` adds a
         ``positions`` column: per hit, {term: [token positions]} of the
-        query terms that occur in it (match_positions)."""
-        terms = sorted(set(tokenize(query_text, lang)))
+        query terms that occur in it (match_positions).
+
+        A trailing-``*`` token is a prefix wildcard (``ser*`` matches
+        every dictionary term starting with ``ser`` — expand_prefix):
+        in OR mode the expansions simply join the disjunction (each
+        matched expansion contributes its own BM25 — Lucene multi-term
+        semantics — so the existing kernels, fanout and WAND skip logic
+        apply unchanged); in AND mode a prefix is a REQUIRED GROUP — a
+        hit must contain every plain term and at least one expansion of
+        every prefix, enforced by an include-set filter computed from
+        live postings before top-k selection (surviving docs' scores
+        are exactly their unfiltered sums over all matching terms);
+        PHRASE/NEAR reject wildcards loudly (a prefix has no single
+        position stream)."""
+        mode = _valid_mode(mode)
+        base_text, stems = _split_prefix_tokens(query_text)
+        groups: list[list[str]] = []
+        if stems:
+            if mode in ("PHRASE", "NEAR"):
+                raise ValueError(
+                    "prefix wildcards are supported in OR/AND modes only"
+                )
+            for st in stems:
+                exp, _trunc = self.expand_prefix(st, lang)
+                groups.append(exp)
+        plain_terms = sorted(set(tokenize(base_text, lang)))
+        terms = (sorted(set(plain_terms).union(*groups)) if groups
+                 else plain_terms)
         cols = ["rank", "doc_id", "score"] + (
             ["positions"] if with_positions else []
         )
         empty = pd.DataFrame(columns=cols)
-        mode = _valid_mode(mode)
         user_exclude = self._user_exclude(exclude_text, lang)
         if mode in ("PHRASE", "NEAR"):
             if not terms:
@@ -390,6 +523,20 @@ class IndexServer:
                 slop=slop if mode == "NEAR" else 0,
                 user_exclude=user_exclude,
             )
+        elif groups and mode == "AND":
+            if any(not g for g in groups):
+                return empty  # a required group matched no dictionary term
+            loaded = self._load_terms(terms)
+            if any(t not in loaded for t in plain_terms):
+                return empty  # a required plain term has no live postings
+            include = self._grouped_and_include(plain_terms, groups)
+            if include is None:
+                return empty
+            rows = self._grouped_and_run(
+                {t: b for t, (_df, b) in loaded.items()},
+                {t: df for t, (df, _b) in loaded.items()},
+                k, include, user_exclude,
+            )
         else:
             loaded = self._load_terms(terms)
             if mode == "AND" and len(loaded) < len(terms):
@@ -401,15 +548,81 @@ class IndexServer:
             )
         out = pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
         if with_positions:
-            mp = self.match_positions(out["doc_id"], query_text, lang)
+            mp = self.match_positions(out["doc_id"], query_text, lang,
+                                      terms=terms)
             out["positions"] = [
                 {t: mp[t][d] for t in mp if d in mp[t]}
                 for d in out["doc_id"].astype("int64")
             ]
         return out
 
+    def _grouped_and_include(self, plain_terms: list[str],
+                             groups: list[list[str]]):
+        """Allowed-doc set for a grouped AND query: intersection of every
+        plain term's live doc set and, per prefix group, the UNION of its
+        expansions' live doc sets.  Sorted unique int64, or None when the
+        conjunction is empty.  Cost is one decode pass over the same
+        postings the scorer will read (O(sum df), LRU-shared)."""
+        sets: list[np.ndarray] = []
+        for t in plain_terms:
+            d = self._live_docs_any([t])
+            if d is None:
+                return None
+            sets.append(d)
+        for g in groups:
+            d = self._live_docs_any(g)
+            if d is None:
+                return None
+            sets.append(d)
+        out = sets[0]
+        for d in sets[1:]:
+            out = out[_in_sorted(d, out)]
+            if not len(out):
+                return None
+        return out
+
+    def _grouped_and_run(self, term_blocks, term_df, k, include,
+                         user_exclude):
+        """Kernel dispatch for grouped AND (prefix groups): the fanout
+        path's AND bucket-intersection assumes every term is individually
+        required, which a group member is NOT — so this runs the
+        vectorized exhaustive kernel directly with the include filter
+        (require_all=0: the include set already enforces the
+        conjunction).  Single-segment: one kernel call; multi-segment:
+        per-segment calls with stale exclusion, then a plain resort
+        (same merge argument as _run).  The candidate set is bounded by
+        the rarest required element, which the include intersection
+        already applied."""
+        if self._single_segment:
+            return _exhaustive_one_query(
+                term_blocks, term_df, k, self.n_docs, self.avgdl,
+                exclude=user_exclude, include=include,
+            )
+        seg_ids = sorted(
+            {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
+        )
+        pooled: list[tuple[float, int]] = []
+        for si in seg_ids:
+            sub = {
+                t: b[b["seg"] == si]
+                for t, b in term_blocks.items()
+                if (b["seg"] == si).any()
+            }
+            ex = self._stale.get(si)
+            if user_exclude is not None:
+                ex = (user_exclude if ex is None
+                      else np.union1d(ex, user_exclude))
+            for _r, d, s in _exhaustive_one_query(
+                sub, term_df, k, self.n_docs, self.avgdl,
+                exclude=ex, include=include,
+            ):
+                pooled.append((s, d))
+        pooled.sort(key=lambda e: (-e[0], e[1]))
+        return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
+
     def match_positions(self, doc_ids, query_text: str,
-                        lang: str = "python") -> dict:
+                        lang: str = "python",
+                        terms: list[str] | None = None) -> dict:
         """term -> {doc_id: [token positions]} for the given docs — the
         span-annotation surface (the reference's product is per-token
         span annotation over input text, webservice/rest.py:47-61; for an
@@ -419,8 +632,13 @@ class IndexServer:
         Positions are token indices in the document's emitted token
         stream (the same indices PHRASE/NEAR match on).  Multi-segment:
         a doc's positions come from its LIVE copy only (stale later
-        copies are skipped, mirroring first-wins serving)."""
-        terms = sorted(set(tokenize(query_text, lang)))
+        copies are skipped, mirroring first-wins serving).
+
+        ``terms`` (already-normalized index terms) overrides tokenizing
+        ``query_text`` — the prefix-wildcard path passes its expanded
+        term set here (a ``*`` token is not an index term)."""
+        if terms is None:
+            terms = sorted(set(tokenize(query_text, lang)))
         out: dict[str, dict[int, list[int]]] = {t: {} for t in terms}
         want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
         if not terms or not len(want):
@@ -792,6 +1010,7 @@ class IndexServer:
                 t
                 for q in queries
                 if modes[q["query_id"]] not in ("PHRASE", "NEAR")
+                and "*" not in q["query_text"]
                 for t in per_q[q["query_id"]]
             }
         )
@@ -799,10 +1018,14 @@ class IndexServer:
         frames = []
         for q in queries:
             qid = q["query_id"]
-            if modes[qid] in ("PHRASE", "NEAR") or q.get("exclude"):
+            if (modes[qid] in ("PHRASE", "NEAR") or q.get("exclude")
+                    or "*" in q["query_text"]):
                 # positional modes bypass the batch fetch by design;
                 # queries with a NOT veto route per-query too (the veto
-                # set is query-specific, not batchable)
+                # set is query-specific, not batchable); prefix
+                # wildcards route per-query because the batch term
+                # fetch tokenizes (which strips '*') — search() owns
+                # the expansion
                 res = self.search(
                     q["query_text"], q.get("lang", "python"),
                     q.get("k", 10), modes[qid], slop=int(q.get("slop", 8)),

@@ -127,6 +127,14 @@ def main() -> None:
             qdict = {"query_id": 0, "query_text": args.query,
                      "lang": args.lang, "k": args.k, "mode": args.mode,
                      "slop": args.slop, "exclude": args.exclude}
+        if "*" in qdict["query_text"] or "*" in (qdict.get("exclude") or ""):
+            # prefix wildcards: expand against the term dictionary before
+            # the bulk path (which tokenizes, and tokenizing strips '*')
+            from horus_ner_spark.index.query import rewrite_prefix_queries
+
+            [qdict] = rewrite_prefix_queries(
+                spark, IndexPaths(args.index), [qdict]
+            )
         rdf = bm25_wand(spark, IndexPaths(args.index), [qdict])
         res = rdf.collect()  # single execution; export re-uses the rows
         if args.export:
