@@ -19,8 +19,10 @@ Endpoints (JSON over HTTP):
 - ``POST /search``  {"query_text": ..., "lang": "python", "k": 10,
   "mode": "OR"|"AND"|"PHRASE"|"NEAR", "slop": 8,
   "exclude": "noise terms", "positions": false,
-  "snippets": false, "context": 1} ->
-  {"results": [{rank, doc_id, score}], "latency_ms": float}.
+  "snippets": false, "context": 1, "facets": ["lang", "repo"]} ->
+  {"results": [{rank, doc_id, score}], "latency_ms": float,
+  "facets": [{facet, value, n_docs}]? — counts over the FULL match
+  set, OR/AND only}.
   Alternatively {"q": '<freeform>', "k": 10} with the minimal query
   syntax (``"exact phrase"``, ``a AND b``, ``a NEAR/3 b``,
   ``lang:python`` — see index/qsyntax.py); parsed to the same enum
@@ -285,6 +287,7 @@ class ServeDaemon:
                 except json.JSONDecodeError:
                     return self._reply(400, {"error": "bad json"})
                 t0 = time.monotonic()
+                facet_rows = None
                 try:
                     if self.path == "/search":
                         k = int(req.get("k", 10))
@@ -351,6 +354,22 @@ class ServeDaemon:
                                 {**r, **by_doc.get(int(r["doc_id"]), {})}
                                 for r in records
                             ]
+                        facet_by = req.get("facets")
+                        if facet_by:
+                            # facet counts over the FULL match set (not
+                            # the k hits) — counted in the parent from
+                            # in-memory doc-values; cached like results
+                            # (pure function of the immutable index)
+                            fkey = ("facets", qt, lang, mode, exclude,
+                                    tuple(facet_by))
+                            facet_rows = daemon._results.get_or_compute(
+                                fkey,
+                                lambda: daemon.server.facets(
+                                    qt, lang, mode=mode,
+                                    by=tuple(facet_by),
+                                    exclude_text=exclude,
+                                ).to_dict(orient="records"),
+                            )
                     elif self.path == "/search_batch":
                         # batch is the bulk surface; callers vary payloads,
                         # so it goes straight to the kernel uncached
@@ -374,13 +393,13 @@ class ServeDaemon:
                 with daemon._lock:
                     daemon._latencies_ms.append(ms)
                     daemon._served += 1
-                self._reply(
-                    200,
-                    {
-                        "results": records,
-                        "latency_ms": round(ms, 3),
-                    },
-                )
+                resp = {
+                    "results": records,
+                    "latency_ms": round(ms, 3),
+                }
+                if facet_rows is not None:
+                    resp["facets"] = facet_rows
+                self._reply(200, resp)
 
         class Server(ThreadingHTTPServer):
             # default backlog (5) drops connections under concurrent load

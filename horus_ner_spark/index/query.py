@@ -228,6 +228,84 @@ def _exclude_terms(queries: list[dict]) -> list[dict]:
     return rows
 
 
+def facet_counts(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[dict],
+    by: tuple = ("lang", "repo"),
+) -> DataFrame:
+    """Facet counts over the FULL match set of each OR/AND query ->
+    (query_id, facet, value, n_docs) — the bulk/offline twin of
+    IndexServer.facets (which counts from in-memory doc-values; this
+    path is pure DataFrame ops for analytics over arbitrary corpus
+    sizes).
+
+    Plan shape at scale: the tf table is pruned to query terms by a
+    broadcast join, the per-(query, doc) matched-term count is one
+    map-side-combinable aggregation, the docs-table join shuffles on
+    doc_id (both sides big — correct, no broadcast), and the facet
+    melt (``stack``) + count is a second small aggregation.  AND
+    queries keep docs whose matched-term count equals the query's term
+    count; prefix wildcards arrive pre-rewritten (rewrite_prefix_queries,
+    OR-only); PHRASE/NEAR are rejected loudly (position verification is
+    bm25_wand's job)."""
+    meta = []
+    for q in queries:
+        m = q.get("mode", "OR").upper()
+        if m not in ("OR", "AND"):
+            raise ValueError(
+                f"facet_counts supports OR/AND only (query_id "
+                f"{q.get('query_id')} has mode {q.get('mode')!r})"
+            )
+        meta.append((q["query_id"], m))
+    qt_rows = _query_terms(queries)
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "query_id int, facet string, value string, n_docs long"
+        )
+    n_terms = {}
+    for r in qt_rows:
+        n_terms[r["query_id"]] = n_terms.get(r["query_id"], 0) + 1
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    qmeta = spark.createDataFrame(
+        [(qid, m, n_terms.get(qid, 0)) for qid, m in meta],
+        "query_id int, mode string, n_terms int",
+    )
+    tf = spark.read.parquet(paths.tf).select("term", "doc_id")
+    matched = (
+        tf.join(F.broadcast(qt), "term")  # tf holds one row per (doc, term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .join(F.broadcast(qmeta), "query_id")
+        .filter((F.col("mode") == "OR") | (F.col("nt") == F.col("n_terms")))
+        .select("query_id", "doc_id")
+    )
+    ex_rows = _exclude_terms(queries)
+    if ex_rows:
+        exq = spark.createDataFrame(ex_rows, "query_id int, term string")
+        veto = (
+            tf.join(F.broadcast(exq), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        matched = matched.join(
+            F.broadcast(veto), ["query_id", "doc_id"], "left_anti"
+        )
+    docs = spark.read.parquet(paths.docs).select("doc_id", *by)
+    stack_expr = (
+        f"stack({len(by)}, "
+        + ", ".join(f"'{c}', {c}" for c in by)
+        + ") as (facet, value)"
+    )
+    return (
+        matched.join(docs, "doc_id")
+        .selectExpr("query_id", stack_expr)
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("query_id", "facet", F.desc("n_docs"), "value")
+    )
+
+
 def _bm25_expr(n_docs: int, avgdl: float):
     """BM25 as a JVM-side Catalyst expression (whole-stage codegen; no
     Python in the brute-force hot path)."""

@@ -254,6 +254,10 @@ class IndexServer:
         self._fanout_min_postings = fanout_min_postings
         self._pool: ThreadPoolExecutor | None = None
         self._pool_lock = threading.Lock()
+        # per-column doc-values (forward index) for facet counting, loaded
+        # lazily on the first facets() call — see _doc_values
+        self._docvals: dict[str, tuple[np.ndarray, np.ndarray, list]] = {}
+        self._docvals_lock = threading.Lock()
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
         self._cache_terms = cache_terms
         self.cache_hits = 0
@@ -684,6 +688,102 @@ class IndexServer:
                 t = t[~_in_sorted(sd, t["doc_id"].to_numpy())]
             frames.append(t)
         return pd.concat(frames, ignore_index=True)
+
+    _FACET_COLS = ("lang", "repo")
+
+    def _doc_values(self, col: str):
+        """Doc-values (forward index) for one metadata column ->
+        (sorted live doc_ids int64, codes int32 aligned to them,
+        categories list[str]).
+
+        Loaded lazily on first use and kept for the server's lifetime —
+        the Lucene doc-values design: facet counting needs a doc->value
+        lookup for EVERY matching doc, which per-doc keyed parquet reads
+        cannot serve (doc_keys is for top-k hits).  Memory is
+        O(n_docs) per column per shard — one int64 + one int32 array +
+        the category dictionary — the standard per-shard cost of a
+        faceted search engine; the column read is column-pruned and
+        stale later copies are dropped (live-copy-only, like serving)."""
+        if col not in self._FACET_COLS:
+            raise ValueError(
+                f"unknown facet column {col!r}; expected one of "
+                f"{self._FACET_COLS}"
+            )
+        with self._docvals_lock:
+            hit = self._docvals.get(col)
+        if hit is not None:
+            return hit
+        ids_l, vals_l = [], []
+        for si, d in enumerate(self._dirs):
+            t = pq.read_table(IndexPaths(d).docs, columns=["doc_id", col])
+            ids = t["doc_id"].to_numpy()
+            vals = t[col].to_pandas()
+            sd = self._stale.get(si)
+            if sd is not None and len(ids):
+                keep = ~_in_sorted(sd, ids)
+                ids, vals = ids[keep], vals[keep]
+            ids_l.append(ids)
+            vals_l.append(vals)
+        allids = np.concatenate(ids_l) if ids_l else np.array([], np.int64)
+        cat = pd.Categorical(pd.concat(vals_l, ignore_index=True)
+                             if vals_l else pd.Series([], dtype=str))
+        order = np.argsort(allids, kind="stable")
+        entry = (allids[order],
+                 np.asarray(cat.codes)[order].astype(np.int32),
+                 [str(c) for c in cat.categories])
+        with self._docvals_lock:
+            self._docvals.setdefault(col, entry)
+        return entry
+
+    def facets(self, query_text: str, lang: str = "python",
+               mode: str = "OR", by: tuple = ("lang", "repo"),
+               exclude_text: str = "") -> pd.DataFrame:
+        """Facet counts over the FULL match set of a query ->
+        (facet, value, n_docs), n_docs desc / value asc per facet.
+
+        The match set follows search() semantics exactly — OR: docs
+        containing any term (prefix expansions included); AND: docs
+        containing every plain term and >=1 expansion per prefix group;
+        NOT veto applied.  PHRASE/NEAR are rejected loudly (their match
+        sets require position verification of every candidate, which is
+        the bulk engine's job, not the serving plane's).  Counting is a
+        searchsorted + bincount over the in-memory doc-values — no
+        storage read after the postings fetch."""
+        mode = _valid_mode(mode)
+        if mode in ("PHRASE", "NEAR"):
+            raise ValueError("facets support OR/AND modes only")
+        base_text, stems = _split_prefix_tokens(query_text)
+        groups = []
+        for st in stems:
+            exp, _trunc = self.expand_prefix(st, lang)
+            groups.append(exp)
+        plain = sorted(set(tokenize(base_text, lang)))
+        out_cols = ["facet", "value", "n_docs"]
+        if mode == "AND":
+            if (not plain and not groups) or any(not g for g in groups):
+                return pd.DataFrame(columns=out_cols)
+            match = self._grouped_and_include(plain, groups)
+        else:
+            terms = sorted(set(plain).union(*groups) if groups else plain)
+            match = self._live_docs_any(terms)
+        if match is None or not len(match):
+            return pd.DataFrame(columns=out_cols)
+        veto = self._user_exclude(exclude_text, lang)
+        if veto is not None:
+            match = match[~_in_sorted(veto, match)]
+        rows = []
+        for col in by:
+            ids, codes, cats = self._doc_values(col)
+            pos = np.searchsorted(ids, match)
+            pos = np.minimum(pos, max(len(ids) - 1, 0))
+            hit = pos[ids[pos] == match] if len(ids) else pos[:0]
+            counts = np.bincount(codes[hit], minlength=len(cats))
+            for ci in np.flatnonzero(counts):
+                rows.append((col, cats[ci], int(counts[ci])))
+        out = pd.DataFrame(rows, columns=out_cols)
+        return out.sort_values(
+            ["facet", "n_docs", "value"], ascending=[True, False, True]
+        ).reset_index(drop=True)
 
     def snippets(self, query_text: str, doc_ids, corpus_path: str,
                  lang: str = "python", context: int = 1) -> pd.DataFrame:

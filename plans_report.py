@@ -67,6 +67,27 @@ def main() -> None:
     )
     sections.append(
         (
+            "Prefix wildcard expansion (term-dictionary range scan)",
+            explain_str(
+                spark.read.parquet(paths.term_stats)
+                .filter(F.col("term").startswith("st"))
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(33)
+            ),
+            [
+                "PushedFilters: StringStartsWith(term, st) reaches the "
+                "parquet scan; term_stats files are term-sorted within each "
+                "pbucket partition (build stage D), so row-group statistics "
+                "prune the read to the matching dictionary slice",
+                "the scan reads the DICTIONARY (one row per term), never "
+                "postings; the collect is bounded by the expansion cap "
+                "(TakeOrderedAndProject of max_expansions+1 rows)",
+            ],
+        )
+    )
+    sections.append(
+        (
             "Brute-force BM25 (DataFrame path)",
             explain_str(bm25_bruteforce(spark, paths, qs)),
             [
