@@ -86,6 +86,26 @@ def main() -> None:
             ],
         )
     )
+    from horus_ner_spark.index.query import facet_counts
+
+    sections.append(
+        (
+            "Facet counts over the full match set (bulk twin)",
+            explain_str(facet_counts(
+                spark, paths,
+                [{"query_id": 1, "query_text": "cache node", "mode": "OR"}],
+            )),
+            [
+                "tf scan pruned to query terms by a BroadcastHashJoin "
+                "before any aggregation",
+                "per-(query, doc) matched-term count is map-side "
+                "combinable (partial_count in the first HashAggregate)",
+                "docs join shuffles on doc_id (both sides big — no "
+                "broadcast); the stack melt + facet count aggregate one "
+                "row per matched doc, never per posting",
+            ],
+        )
+    )
     sections.append(
         (
             "Brute-force BM25 (DataFrame path)",
