@@ -378,8 +378,11 @@ class ServeDaemon:
                         ).to_dict(orient="records")
                     else:
                         return self._reply(404, {"error": "unknown path"})
-                except ValueError as exc:
-                    # client error (bad mode/slop): precise message, 400
+                except (ValueError, FileNotFoundError, RuntimeError) as exc:
+                    # client/operator error (bad mode/slop, fuzzy sidecar
+                    # missing or stale): precise message, 400 — these
+                    # carry no internal state beyond the index root the
+                    # operator already knows
                     return self._reply(400, {"error": str(exc)})
                 except Exception:  # surface generically, don't kill the
                     # daemon — and never echo internals to network peers

@@ -433,6 +433,18 @@ def fsck(
     parts += _block_metadata_checks(meta, n_pbuckets)
     parts += _term_stats_checks(meta, term_stats, n_pbuckets)
     parts += _doc_table_checks(spark, paths)
+    # derived artifacts: a fuzzy sidecar built against an older dictionary
+    # silently mis-expands ~ queries — flag it like any other violation
+    # (no sidecar at all is fine: fuzzy is opt-in)
+    from horus_ner_spark.index.fuzzy import fuzzy_is_stale
+
+    if fuzzy_is_stale(paths):
+        parts.append(spark.createDataFrame(
+            [("fuzzy_sidecar_stale", None, None, None,
+              "fuzzy.parquet predates the current term_stats — re-run "
+              "build_fuzzy_sidecar")],
+            VIOLATION_SCHEMA,
+        ))
     if deep:
         stats = read_corpus_stats(paths)
         from horus_ner_spark.session import ensure_package_on_executors
@@ -465,3 +477,30 @@ def fsck(
         "by_check": by_check,
         "sample": sample_rows,
     }
+
+
+def _main(argv: list[str]) -> int:
+    """``python -m horus_ner_spark.index.fsck <index_dir> [--deep]`` —
+    print the audit report as one JSON line; exit 0 iff clean (the
+    operator/cron contract)."""
+    import json
+
+    from horus_ner_spark.session import get_spark
+
+    deep = "--deep" in argv
+    rest = [a for a in argv if a != "--deep"]
+    if len(rest) != 1:
+        raise SystemExit(
+            "usage: python -m horus_ner_spark.index.fsck <index_dir> "
+            "[--deep]"
+        )
+    spark = get_spark("fsck")
+    rep = fsck(spark, rest[0], deep=deep)
+    print(json.dumps(rep, default=str))
+    return 0 if rep["ok"] else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main(sys.argv[1:]))

@@ -110,6 +110,11 @@ def _split_prefix_tokens(text: str) -> tuple[str, list[str]]:
                     f"wildcard {tok!r}: '*' is supported only as a single "
                     "trailing character (prefix query)"
                 )
+            if "~" in stem:
+                raise ValueError(
+                    f"wildcard {tok!r}: a token is a prefix (*) OR a fuzzy "
+                    "(~) query, not both"
+                )
             stems.append(stem)
         elif "*" in tok:
             raise ValueError(
@@ -163,6 +168,8 @@ class IndexServer:
         total_len = 0
         self._postings = []
         self._term_stats = []
+        self._index_dirs = dirs  # fuzzy sidecars open lazily (first ~ query)
+        self._fuzzy = None
         for d in dirs:
             paths = IndexPaths(d)
             stats = pq.read_table(paths.corpus_stats).to_pylist()[0]
@@ -413,6 +420,70 @@ class IndexServer:
         return [t for t, _df in ranked[:max_expansions]], \
             len(ranked) > max_expansions
 
+    def _fuzzy_datasets(self):
+        """Per-segment (dataset, n_pbuckets) for the delete-1 sidecars,
+        opened on the first fuzzy query.  Freshness is checked once per
+        server lifetime — the index files a server instance reads are
+        immutable (rebuilds write new directories), so a sidecar fresh
+        at open stays fresh."""
+        if self._fuzzy is None:
+            from horus_ner_spark.index.fuzzy import (
+                check_fuzzy_fresh,
+                fuzzy_dir,
+                read_fuzzy_meta,
+            )
+
+            loaded = []
+            for d in self._index_dirs:
+                p = IndexPaths(d)
+                check_fuzzy_fresh(p)  # loud: missing or stale sidecar
+                loaded.append((
+                    pads.dataset(fuzzy_dir(p), partitioning="hive"),
+                    int(read_fuzzy_meta(p)["n_pbuckets"]),
+                ))
+            self._fuzzy = loaded
+        return self._fuzzy
+
+    def expand_fuzzy(self, stem: str, lang: str = "python",
+                     max_expansions: int = None,
+                     ) -> tuple[list[str], bool]:
+        """Expand a trailing-``~`` fuzzy stem to the dictionary terms at
+        edit distance ≤ 1 -> (terms, truncated).
+
+        Candidates come from an exact-key fetch on the delete-1 sidecar
+        (index/fuzzy.py — partition + row-group pruned, never an
+        O(vocabulary) scan), then each is VERIFIED with an exact
+        edit-distance check (the shared-delete-key test admits false
+        positives).  Selection: the exact term first, then highest-df,
+        ties by term asc — deterministic, capped Lucene-style."""
+        from horus_ner_spark.index.fuzzy import (
+            FUZZY_MAX_EXPANSIONS,
+            delete1_keys,
+            normalize_fuzzy_stem,
+            rank_expansions,
+        )
+
+        if max_expansions is None:
+            max_expansions = FUZZY_MAX_EXPANSIONS
+        tok = normalize_fuzzy_stem(stem, lang)
+        keys = delete1_keys(tok)
+        cand: dict[str, int] = {}
+        for ds, n_pb in self._fuzzy_datasets():
+            buckets = sorted({term_bucket(k, n_pb) for k in keys})
+            flt = (pads.field("fb").isin(buckets)
+                   & pads.field("del_key").isin(keys))
+            # a term reachable via several keys repeats WITHIN a segment
+            # (identical df row — dedupe), and its df sums ACROSS
+            # segments (same raw per-segment sum expand_prefix uses:
+            # expansion choice only, scoring df stays reconciled)
+            per_seg: dict[str, int] = {}
+            for r in ds.to_table(columns=["term", "df"],
+                                 filter=flt).to_pylist():
+                per_seg[r["term"]] = int(r["df"])
+            for t, d in per_seg.items():
+                cand[t] = cand.get(t, 0) + d
+        return rank_expansions(tok, cand, max_expansions)
+
     def _live_docs_any(self, terms: list[str]):
         """Sorted unique doc_ids whose LIVE copy contains ANY of ``terms``
         (already-normalized index terms), or None if no postings.
@@ -449,8 +520,14 @@ class IndexServer:
         ``exclude_text`` (the NOT operator's veto set), or None.  A
         trailing-``*`` token vetoes every expansion of the prefix
         (``-tmp*`` drops docs containing ANY tmp-prefixed term)."""
+        from horus_ner_spark.index.fuzzy import (
+            FUZZY_MAX_EXPANSIONS,
+            split_fuzzy_tokens,
+        )
+
         base_text, stems = _split_prefix_tokens(exclude_text or "")
-        terms = set(tokenize(base_text, lang))
+        plain_toks, fuzzy_stems = split_fuzzy_tokens(base_text)
+        terms = set(tokenize(" ".join(plain_toks), lang))
         for st in stems:
             # NOT is a veto: a capped expansion would silently under-veto
             # (docs that should be dropped would rank), so an exclusion
@@ -462,6 +539,15 @@ class IndexServer:
                     f"exclusion prefix {st + '*'!r} matches more than "
                     f"{PREFIX_MAX_EXPANSIONS} dictionary terms; NOT must "
                     "veto exactly — use a longer prefix"
+                )
+            terms.update(exp)
+        for st in fuzzy_stems:  # same veto-exactly rule
+            exp, trunc = self.expand_fuzzy(st, lang)
+            if trunc:
+                raise ValueError(
+                    f"exclusion fuzzy {st + '~'!r} matches more than "
+                    f"{FUZZY_MAX_EXPANSIONS} dictionary terms; NOT must "
+                    "veto exactly"
                 )
             terms.update(exp)
         return self._live_docs_any(sorted(terms))
@@ -483,7 +569,11 @@ class IndexServer:
         ``positions`` column: per hit, {term: [token positions]} of the
         query terms that occur in it (match_positions).
 
-        A trailing-``*`` token is a prefix wildcard (``ser*`` matches
+        A trailing-``~`` token is a fuzzy query (``serve~`` matches every
+        dictionary term at edit distance ≤ 1 — expand_fuzzy, delete-1
+        sidecar required) and follows exactly the prefix-wildcard
+        semantics below.  A trailing-``*`` token is a prefix wildcard
+        (``ser*`` matches
         every dictionary term starting with ``ser`` — expand_prefix):
         in OR mode the expansions simply join the disjunction (each
         matched expansion contributes its own BM25 — Lucene multi-term
@@ -495,16 +585,24 @@ class IndexServer:
         are exactly their unfiltered sums over all matching terms);
         PHRASE/NEAR reject wildcards loudly (a prefix has no single
         position stream)."""
+        from horus_ner_spark.index.fuzzy import split_fuzzy_tokens
+
         mode = _valid_mode(mode)
         base_text, stems = _split_prefix_tokens(query_text)
+        plain_toks, fuzzy_stems = split_fuzzy_tokens(base_text)
+        base_text = " ".join(plain_toks)
         groups: list[list[str]] = []
-        if stems:
+        if stems or fuzzy_stems:
             if mode in ("PHRASE", "NEAR"):
                 raise ValueError(
-                    "prefix wildcards are supported in OR/AND modes only"
+                    "prefix/fuzzy wildcards are supported in OR/AND "
+                    "modes only"
                 )
             for st in stems:
                 exp, _trunc = self.expand_prefix(st, lang)
+                groups.append(exp)
+            for st in fuzzy_stems:
+                exp, _trunc = self.expand_fuzzy(st, lang)
                 groups.append(exp)
         plain_terms = sorted(set(tokenize(base_text, lang)))
         terms = (sorted(set(plain_terms).union(*groups)) if groups
@@ -1111,6 +1209,7 @@ class IndexServer:
                 for q in queries
                 if modes[q["query_id"]] not in ("PHRASE", "NEAR")
                 and "*" not in q["query_text"]
+                and "~" not in q["query_text"]
                 for t in per_q[q["query_id"]]
             }
         )
@@ -1119,13 +1218,14 @@ class IndexServer:
         for q in queries:
             qid = q["query_id"]
             if (modes[qid] in ("PHRASE", "NEAR") or q.get("exclude")
-                    or "*" in q["query_text"]):
+                    or "*" in q["query_text"]
+                    or "~" in q["query_text"]):
                 # positional modes bypass the batch fetch by design;
                 # queries with a NOT veto route per-query too (the veto
                 # set is query-specific, not batchable); prefix
                 # wildcards route per-query because the batch term
-                # fetch tokenizes (which strips '*') — search() owns
-                # the expansion
+                # fetch tokenizes (which strips '*'/'~') — search()
+                # owns the expansion (prefix and fuzzy alike)
                 res = self.search(
                     q["query_text"], q.get("lang", "python"),
                     q.get("k", 10), modes[qid], slop=int(q.get("slop", 8)),
