@@ -455,7 +455,13 @@ def fsck(
             read_table(spark, paths.postings).mapInArrow(
                 kernel, VIOLATION_SCHEMA)
         )
-        parts += _tf_table_checks(spark, paths)
+        # the uncompressed tf table is an optional oracle artifact
+        # (build.py writes it; merge carries it only under merge_tf) —
+        # a compacted/purged index legitimately has none to audit
+        from horus_ner_spark import catalog as _catalog
+
+        if _catalog.fs_exists(paths.tf):
+            parts += _tf_table_checks(spark, paths)
 
     v = parts[0]
     for p in parts[1:]:

@@ -129,26 +129,48 @@ def _split_factory(avgdl: float, block_size: int, range_bits: int):
     return split
 
 
-def _distinct_df(pdf: pd.DataFrame) -> pd.DataFrame:
+def _drop_sorted(sorted_dead: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Keep-mask over ``docs`` for ids NOT in the sorted ``sorted_dead``."""
+    if not len(sorted_dead) or not len(docs):
+        return np.ones(len(docs), dtype=bool)
+    pos = np.searchsorted(sorted_dead, docs)
+    pos = np.minimum(pos, len(sorted_dead) - 1)
+    return sorted_dead[pos] != docs
+
+
+def _distinct_df_factory(tomb_bc):
     """Per-(term, rb) DEDUPED posting count — decodes doc_ids only (the
-    cheap stream); runs only for threshold-straddling terms of overlapping
-    segments (the exactness path of the hot/cold decision)."""
-    docs = np.unique(
-        np.concatenate(
-            [decode_block(bytes(d), bytes(t))[0]
-             for d, t in zip(pdf["doc_ids_vb"], pdf["tfs_vb"])]
+    cheap stream); runs only for threshold-straddling terms (overlapping
+    segments, or any purge merge — the hot/cold decision must use the
+    POST-purge df for the output to stay canonical)."""
+
+    def _distinct_df(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(
+            np.concatenate(
+                [decode_block(bytes(d), bytes(t))[0]
+                 for d, t in zip(pdf["doc_ids_vb"], pdf["tfs_vb"])]
+            )
         )
-    )
-    return pd.DataFrame(
-        {"term": [pdf["term"].iloc[0]], "df": [np.int64(len(docs))]}
-    )
+        if tomb_bc is not None:
+            docs = docs[_drop_sorted(tomb_bc.value, docs)]
+        return pd.DataFrame(
+            {"term": [pdf["term"].iloc[0]], "df": [np.int64(len(docs))]}
+        )
+
+    return _distinct_df
 
 
-def _reblock_factory(avgdl: float, block_size: int):
+def _reblock_factory(avgdl: float, block_size: int, tomb_bc=None):
     """Canonical re-blocker for ONE (term, rb) group: k-way sorted concat,
     first-wins dedupe by (doc_id, seg), chunk at block_size.  Identical
     output to the build's encoder for the same posting set — block_ids are
-    (term, rb)-local in both (layout v4)."""
+    (term, rb)-local in both (layout v4).
+
+    ``tomb_bc`` (a broadcast sorted int64 array of tombstoned doc_ids)
+    makes this the PURGE point: deleted docs' postings — and their
+    verbatim position slices — drop here, inside the decode/re-encode the
+    merge already pays, so a purge merge costs no extra shuffle and its
+    output is byte-identical to a fresh build of the surviving corpus."""
 
     def reblock(pdf: pd.DataFrame) -> pd.DataFrame:
         from horus_ner_spark.index.codec import pos_slice_offsets
@@ -187,6 +209,14 @@ def _reblock_factory(avgdl: float, block_size: int):
             keep[0] = True
             keep[1:] = docs[1:] != docs[:-1]
             docs, tfs, dls, pos = docs[keep], tfs[keep], dls[keep], pos[keep]
+        if tomb_bc is not None:
+            alive = _drop_sorted(tomb_bc.value, docs)
+            if not alive.all():
+                docs, tfs, dls, pos = (
+                    docs[alive], tfs[alive], dls[alive], pos[alive]
+                )
+            if not len(docs):  # every posting of this group was purged
+                return pd.DataFrame(columns=_BLOCK_COLS)
         pos_buf = b"".join(pos)
         pos_off = np.zeros(len(docs) + 1, dtype=np.int64)
         np.cumsum([len(b) for b in pos], out=pos_off[1:])
@@ -223,6 +253,7 @@ def merge_indexes(
     split_threshold: int = SPLIT_THRESHOLD,
     merge_tf: bool = False,
     small_max_bytes: int = 0,
+    tombstones: np.ndarray | None = None,
 ) -> IndexPaths:
     """Merge N built index segments into a canonical combined index.
 
@@ -236,10 +267,21 @@ def merge_indexes(
     (smallseg.merge_indexes_small — canonical-form identical); streaming
     compaction passes it so L1/L2 micro-batch compactions skip the Spark
     job storm, while upper-level compactions stay distributed.
+
+    ``tombstones`` (sorted-unique int64 doc_ids, index/tombstones.py)
+    makes this a PURGE merge: the named docs drop from docs / doclens /
+    every posting block, corpus and term stats recompute over the
+    survivors, and the output is byte-identical to a fresh build of the
+    surviving corpus (tests/test_tombstones.py) — the physical half of
+    the delete lifecycle (serve-side exclusion is the logical half).
+    The purge rides the merge's existing decode/re-encode; the only
+    added cost is the exact post-purge df pass for threshold-straddling
+    hot terms (the same pass overlapping merges already run).
     """
     from horus_ner_spark.session import ensure_package_on_executors
 
-    if small_max_bytes > 0 and not merge_tf:
+    purging = tombstones is not None and len(tombstones) > 0
+    if small_max_bytes > 0 and not merge_tf and not purging:
         from horus_ner_spark.index.smallseg import (
             merge_indexes_small,
             table_bytes,
@@ -267,6 +309,21 @@ def merge_indexes(
     seg_stats = [read_corpus_stats(seg) for seg in segments]
     seg_doc_sum = sum(int(s["n_docs"]) for s in seg_stats)
 
+    tomb_bc = None
+    tomb_df = None
+    if purging:
+        tombstones = np.unique(np.asarray(tombstones, dtype=np.int64))
+        tomb_bc = spark.sparkContext.broadcast(tombstones)
+        tomb_df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": tombstones})
+        )
+
+    def _purge(df: DataFrame) -> DataFrame:
+        """Anti-join the (bounded, broadcast) tombstone set on doc_id."""
+        if tomb_df is None:
+            return df
+        return df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+
     def _union(tables: list[str]) -> DataFrame:
         df = None
         for ref in tables:
@@ -281,24 +338,36 @@ def merge_indexes(
     overlap = seg_doc_sum != n_docs
 
     if not overlap:
-        catalog.write_table(_union([s.docs for s in segments]), out.docs)
         catalog.write_table(
-            _union([s.doclens for s in segments]), out.doclens
+            _purge(_union([s.docs for s in segments])), out.docs
+        )
+        catalog.write_table(
+            _purge(_union([s.doclens for s in segments])), out.doclens
         )
         total_len = sum(int(s["total_len"]) for s in seg_stats)
     else:
         # first-wins union (oldest segment wins — deterministic, aligned
         # with the posting dedupe below and the serving-side rule)
         catalog.write_table(
-            _first_wins_union(spark, [s.docs for s in segments], ["doc_id"]),
+            _purge(_first_wins_union(
+                spark, [s.docs for s in segments], ["doc_id"]
+            )),
             out.docs,
         )
         catalog.write_table(
-            _first_wins_union(
+            _purge(_first_wins_union(
                 spark, [s.doclens for s in segments], ["doc_id"]
-            ),
+            )),
             out.doclens,
         )
+        total_len = catalog.read_table(spark, out.doclens).agg(
+            F.sum("doclen").alias("t")
+        ).collect()[0]["t"] or 0
+    if purging:
+        # survivor stats: one footer-metadata count + one narrow agg over
+        # the just-written doclens (the driver arithmetic above counts
+        # purged docs)
+        n_docs = catalog.read_table(spark, out.docs).count()
         total_len = catalog.read_table(spark, out.doclens).agg(
             F.sum("doclen").alias("t")
         ).collect()[0]["t"] or 0
@@ -351,15 +420,17 @@ def merge_indexes(
 
     demoted: list[str] = []
     persisted = None
-    if overlap:
-        # phase 2 (overlapping segments only): exact deduped df for the
-        # maybe-hot terms; any that fall back under the threshold after
-        # dedupe are re-keyed to a single cold run (canonical form)
+    if overlap or purging:
+        # phase 2 (overlapping segments, or any purge merge): exact
+        # deduped post-purge df for the maybe-hot terms; any that fall
+        # back under the threshold after dedupe/purge are re-keyed to a
+        # single cold run (canonical form)
         persisted = normalized = normalized.persist()
         exact = (
             normalized.join(F.broadcast(maybe_hot.select("term")), "term")
             .groupBy("term", "rb")
-            .applyInPandas(_distinct_df, "term string, df long")
+            .applyInPandas(_distinct_df_factory(tomb_bc),
+                           "term string, df long")
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
             .filter(F.col("df") <= split_threshold)
@@ -374,7 +445,7 @@ def merge_indexes(
 
     # the ONE shuffle of the merge: canonical re-block per (term, rb) —
     # a Zipf-head term merges in up to 2^range_bits parallel tasks
-    reblock = _reblock_factory(avgdl, block_size)
+    reblock = _reblock_factory(avgdl, block_size, tomb_bc=tomb_bc)
     merged = normalized.groupBy("term", "rb").applyInPandas(
         reblock, POSTINGS_SCHEMA
     )
@@ -414,9 +485,11 @@ def merge_indexes(
 
     if merge_tf:  # oracle/test builds only — never the compaction loop
         catalog.write_table(
-            _first_wins_union(
+            _purge(_first_wins_union(
                 spark, [s.tf for s in segments], ["doc_id", "term"]
-            ),
+            )),
             out.tf,
         )
+    if tomb_bc is not None:
+        tomb_bc.unpersist()
     return out

@@ -53,6 +53,7 @@ from horus_ner_spark.index.build import (
     SPLIT_THRESHOLD,
     IndexPaths,
 )
+from horus_ner_spark.index import tombstones as tombstones_mod
 from horus_ner_spark.index.codec import decode_block, decode_positions
 from horus_ner_spark.index.qsyntax import parse_query
 from horus_ner_spark.index.query import (
@@ -150,7 +151,8 @@ class IndexServer:
                  fanout_min_postings: int = FANOUT_MIN_POSTINGS,
                  fan_modes: tuple = ("AND", "OR"),
                  decoded_cache_postings: int = 16_000_000,
-                 pos_cache_postings: int = 8_000_000) -> None:
+                 pos_cache_postings: int = 8_000_000,
+                 extra_tombstone_dirs: tuple = ()) -> None:
         """``index_dir`` may be one built index or a LIST of segment dirs —
         the streaming tier set (streaming/incremental.py), OLDEST FIRST
         (the order active_units returns; first-wins dedupe follows it).
@@ -226,6 +228,40 @@ class IndexServer:
                 )
                 m = _in_sorted(st, dl["doc_id"].to_numpy())
                 total_len -= int(dl["doclen"].to_numpy()[m].sum())
+        # tombstoned docs (index/tombstones.py — per-dir tombstones/ plus
+        # any ``extra_tombstone_dirs``, e.g. a streaming root's) fold into
+        # the SAME exclusion + stats machinery as stale duplicates: per
+        # segment, the tombstone ids present in that segment's docs table
+        # join _stale[si]; n_docs / total_len subtract only ids not
+        # already excluded as stale copies, and per-term df corrects at
+        # fetch time exactly as for stale copies — so results are rank-
+        # AND score-identical to a fresh build of the surviving corpus,
+        # BEFORE any purge merge runs (stronger than Lucene's df-drifts-
+        # until-merge contract).  The tombstone set is capped at read
+        # time (read_tombstones), so this intersection is bounded.
+        tomb = tombstones_mod.read_tombstones(
+            dirs, extra_dirs=tuple(extra_tombstone_dirs or ())
+        )
+        if len(tomb):
+            for si, d in enumerate(dirs):
+                ids = pq.read_table(
+                    IndexPaths(d).docs, columns=["doc_id"]
+                )["doc_id"].to_numpy()
+                hit = np.intersect1d(tomb, ids)
+                if not len(hit):
+                    continue
+                prev = self._stale.get(si)
+                new = hit if prev is None else np.setdiff1d(hit, prev)
+                if len(new):
+                    n_docs -= len(new)
+                    dl = pq.read_table(
+                        IndexPaths(d).doclens, columns=["doc_id", "doclen"]
+                    )
+                    m = _in_sorted(new, dl["doc_id"].to_numpy())
+                    total_len -= int(dl["doclen"].to_numpy()[m].sum())
+                self._stale[si] = (
+                    hit if prev is None else np.union1d(prev, hit)
+                )
         self.n_docs = n_docs
         self.avgdl = float(total_len) / n_docs if n_docs else 0.0
         self._single_segment = len(dirs) == 1
@@ -696,9 +732,15 @@ class IndexServer:
         the rarest required element, which the include intersection
         already applied."""
         if self._single_segment:
+            # tombstones load into _stale[0] even single-segment — union
+            # them into the exclusion like the multi-segment path does
+            ex = self._stale.get(0)
+            if user_exclude is not None:
+                ex = (user_exclude if ex is None
+                      else np.union1d(ex, user_exclude))
             return _exhaustive_one_query(
                 term_blocks, term_df, k, self.n_docs, self.avgdl,
-                exclude=user_exclude, include=include,
+                exclude=ex, include=include,
             )
         seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
@@ -1165,9 +1207,18 @@ class IndexServer:
         asc) resort.  ``user_exclude`` (the NOT operator's sorted doc-id
         veto set) unions with each segment's stale set."""
         if self._single_segment:
+            # tombstones load into _stale[0] even single-segment — union
+            # them into the exclusion like the multi-segment path does
+            # (the decoded-postings memos key off exclude is None, so a
+            # tombstoned server trades the warm-decode shortcut for
+            # correctness until a purge merge clears the set)
+            ex = self._stale.get(0)
+            if user_exclude is not None:
+                ex = (user_exclude if ex is None
+                      else np.union1d(ex, user_exclude))
             return self._dispatch_fanned(
                 term_blocks, term_df, k, mode, phrase, require_all,
-                exclude=user_exclude, slop=slop,
+                exclude=ex, slop=slop,
             )
         seg_ids = sorted(
             {int(s) for b in term_blocks.values() for s in b["seg"].unique()}
