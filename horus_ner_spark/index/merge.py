@@ -281,7 +281,7 @@ def merge_indexes(
     from horus_ner_spark.session import ensure_package_on_executors
 
     purging = tombstones is not None and len(tombstones) > 0
-    if small_max_bytes > 0 and not merge_tf and not purging:
+    if small_max_bytes > 0 and not merge_tf:
         from horus_ner_spark.index.smallseg import (
             merge_indexes_small,
             table_bytes,
@@ -292,6 +292,7 @@ def merge_indexes(
                 spark, segments, out_dir, block_size=block_size,
                 range_bits=range_bits, n_pbuckets=n_pbuckets,
                 split_threshold=split_threshold,
+                tombstones=tombstones if purging else None,
             )
 
     catalog.require_path_refs("merge_indexes")  # segment refs are paths

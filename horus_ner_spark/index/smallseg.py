@@ -401,6 +401,7 @@ def merge_indexes_small(
     range_bits: int = RANGE_BITS,
     n_pbuckets: int = N_PBUCKETS,
     split_threshold: int = SPLIT_THRESHOLD,
+    tombstones: np.ndarray | None = None,
 ) -> IndexPaths:
     """Local merge of small segments — canonical-form identical to
     merge_indexes (same first-wins dedupe, same hot/cold rule on the exact
@@ -409,6 +410,13 @@ def merge_indexes_small(
     The compaction ladder makes this the common case: L1 merges absorb
     micro-batch segments (tiny by construction); only upper-level
     compactions exceed the byte gate and take the distributed merge.
+
+    ``tombstones`` (sorted-unique int64, index/tombstones.py) purges the
+    named docs exactly like merge_indexes(tombstones=...): dropped from
+    docs/doclens/postings after the first-wins dedupe, stats recomputed
+    over survivors, hot/cold split keyed on the post-purge df — so the
+    streaming compaction ladder purges deletes without leaving the local
+    fast path.
     """
     from horus_ner_spark.index import bm25
     from horus_ner_spark.index.build import _encode_stream, read_corpus_stats
@@ -438,9 +446,24 @@ def merge_indexes_small(
         first[1:] = ks[1:] != ks[:-1]
         return allt.take(pa.array(order[first])).drop_columns(["_seg"])
 
-    docs = _first_wins([s.docs for s in segments], "doc_id")
+    tomb = (
+        np.unique(np.asarray(tombstones, dtype=np.int64))
+        if tombstones is not None and len(tombstones) else None
+    )
+
+    def _drop_tomb(tbl: pa.Table) -> pa.Table:
+        if tomb is None or not tbl.num_rows:
+            return tbl
+        k = tbl["doc_id"].to_numpy()
+        pos = np.minimum(np.searchsorted(tomb, k), len(tomb) - 1)
+        alive = tomb[pos] != k
+        return tbl.filter(pa.array(alive)) if not alive.all() else tbl
+
+    docs = _drop_tomb(_first_wins([s.docs for s in segments], "doc_id"))
     _write_table(out.docs, docs)
-    doclens = _first_wins([s.doclens for s in segments], "doc_id")
+    doclens = _drop_tomb(
+        _first_wins([s.doclens for s in segments], "doc_id")
+    )
     _write_table(out.doclens, doclens)
     n_docs = docs.num_rows
     total_len = int(doclens["doclen"].to_numpy().sum()) if doclens.num_rows else 0
@@ -502,6 +525,17 @@ def merge_indexes_small(
     codes, docs_all = codes[keep], docs_all[keep]
     tfs_all, dls_all = tfs_all[keep], dls_all[keep]
     pos_start, pos_len = pos_start[keep], pos_len[keep]
+
+    if tomb is not None and len(docs_all):
+        # purge point: tombstoned postings (and their position slices)
+        # drop here, BEFORE the hot/cold decision — df_/rb below derive
+        # from survivors only, matching a fresh build of the survivors
+        tpos = np.minimum(np.searchsorted(tomb, docs_all), len(tomb) - 1)
+        alive = tomb[tpos] != docs_all
+        if not alive.all():
+            codes, docs_all = codes[alive], docs_all[alive]
+            tfs_all, dls_all = tfs_all[alive], dls_all[alive]
+            pos_start, pos_len = pos_start[alive], pos_len[alive]
 
     df_ = np.bincount(codes, minlength=len(uniq))
     hot = df_ > split_threshold
@@ -569,5 +603,8 @@ def merge_indexes_small(
             "pbucket": [bucket_of[t] for t in uniq],
         }
     ).sort_values(["pbucket", "term"], kind="mergesort")
+    # a term whose every posting was tombstoned leaves no blocks — drop
+    # its dictionary row too (a fresh build of the survivors has none)
+    ts = ts[ts["df"] > 0]
     _write_bucketed(out.term_stats, ts, n_pbuckets)
     return out

@@ -131,7 +131,8 @@ def _tier_seq(age_keys: list[tuple]) -> int | None:
 
 
 def compact_tiers(
-    spark: SparkSession, index_root: str, fanout: int = DEFAULT_FANOUT
+    spark: SparkSession, index_root: str, fanout: int = DEFAULT_FANOUT,
+    purge_tombstones: bool = True,
 ) -> int:
     """Merge policy: while any level holds >= ``fanout`` live units, merge
     the ``fanout`` oldest into one unit a level up.  Returns the number of
@@ -139,7 +140,17 @@ def compact_tiers(
     a hash of its input keys, inputs are recorded in the output's
     ``inputs.json`` (written last, atomically), and absorbed units are left
     on disk for replay safety (a retention job can delete units whose key
-    appears in some inputs.json once the checkpoint passes them)."""
+    appears in some inputs.json once the checkpoint passes them).
+
+    ``purge_tombstones`` (default on) makes each merge a purge merge over
+    the root's live tombstone set (<index_root>/tombstones/ —
+    index/tombstones.py), then GCs tombstone files whose ids no longer
+    survive in ANY active unit — deletes leave the index physically at
+    compaction cadence, exactly Lucene's lifecycle.  A replayed
+    compaction (inputs.json present) is skipped as before; tombstones
+    accumulated after a tier committed simply ride the next level's
+    merge."""
+    from horus_ner_spark.index import tombstones as tombstones_mod
     from horus_ner_spark.index.build import IndexPaths
     from horus_ner_spark.index.merge import merge_indexes
 
@@ -154,6 +165,10 @@ def compact_tiers(
             if len(paths) >= fanout
         ]
         if not todo:
+            if n_merges and purge_tombstones:
+                tombstones_mod.gc_tombstones(
+                    index_root, [p for _lvl, p in active_units(index_root)]
+                )
             return n_merges
         lvl, inputs = todo[0]
         keys = [_unit_key(p, index_root) for p in inputs]
@@ -173,9 +188,14 @@ def compact_tiers(
         if not catalog.fs_exists(meta):  # replayed compaction -> skip merge
             from horus_ner_spark.index.smallseg import SMALL_MERGE_MAX_BYTES
 
+            tomb = (
+                tombstones_mod.read_tombstones(index_root)
+                if purge_tombstones else None
+            )
             merge_indexes(
                 spark, [IndexPaths(p) for p in inputs], out_dir,
                 small_max_bytes=SMALL_MERGE_MAX_BYTES,
+                tombstones=tomb if tomb is not None and len(tomb) else None,
             )
             # bloom sidecar BEFORE inputs.json: a tier with an inputs.json
             # always has its filter (built fresh from the merged docs, so
@@ -354,6 +374,49 @@ def incremental_index_stream(
         keyed.unpersist()
         return out
 
+    def _drop_tombstoned_local(tbl):
+        """Arrow-table variant of the live-tombstone ingest gate."""
+        import numpy as np
+
+        from horus_ner_spark.functions.xxhash import doc_ids_from_cols
+        from horus_ner_spark.index import tombstones as tombstones_mod
+
+        tomb = tombstones_mod.read_tombstones(index_root)
+        if not len(tomb) or not tbl.num_rows:
+            return tbl
+        import pyarrow as pa
+
+        ids = doc_ids_from_cols(
+            tbl["repo"].to_pylist(),
+            tbl["path"].to_pylist(),
+            tbl["commit"].to_pylist(),
+        )
+        pos = np.minimum(np.searchsorted(tomb, ids), len(tomb) - 1)
+        alive = tomb[pos] != ids
+        return tbl.filter(pa.array(alive)) if not alive.all() else tbl
+
+    def _drop_tombstoned_spark(df: DataFrame) -> DataFrame:
+        """Live-tombstone ingest gate: a doc_id named by a LIVE tombstone
+        (index/tombstones.py) stays deleted — re-admitting it would
+        either resurrect a doc the tombstone still masks at serve time,
+        or (worse) index a live copy the tombstone then hides forever
+        while blocking the tombstone's own GC.  After a purge compaction
+        GCs the tombstone, the same document ingests fresh — that is the
+        delete→(compact)→re-add lifecycle."""
+        import numpy as np
+
+        from horus_ner_spark.index import tombstones as tombstones_mod
+
+        tomb = tombstones_mod.read_tombstones(index_root)
+        if not len(tomb):
+            return df
+        tdf = F.broadcast(spark.createDataFrame(
+            pd.DataFrame({"doc_id": np.asarray(tomb, dtype="int64")})
+        ))
+        return (
+            with_doc_id(df).join(tdf, "doc_id", "left_anti").drop("doc_id")
+        )
+
     def _corpus_empty(ref: str) -> bool:
         """Row count from parquet footers (driver-side, no Spark job)."""
         import pyarrow.parquet as pq
@@ -459,12 +522,14 @@ def incremental_index_stream(
             if tbl.num_rows <= SMALL_BATCH_MAX_DOCS:
                 kept = _dedup_local(tbl, units) if units else tbl
                 if kept is not None:
+                    kept = _drop_tombstoned_local(kept)
                     _write_table(seg_corpus, kept)
                     handled = True
             if not handled:
                 out = batch_df
                 if units:
                     out = _dedup(batch_df, units)
+                out = _drop_tombstoned_spark(out)
                 out.write.mode("overwrite").parquet(seg_corpus)
         if _corpus_empty(seg_corpus):
             # a 100%-re-delivered batch dedupes to nothing: no unit is

@@ -164,12 +164,25 @@ def test_multi_segment_tombstones(spark, tmp_path):
     assert _rows(ph_a) == _rows(ph_b)
 
 
+def _sig(spark, paths):
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(paths.postings)
+        .select("term", "rb", "min_doc_id", "n_postings", "block_cf",
+                F.md5(F.base64("doc_ids_vb")).alias("dh"),
+                F.md5(F.base64("tfs_vb")).alias("th"),
+                F.md5(F.base64("pos_vb")).alias("ph"),
+                F.bround("block_max_tfnorm", 9).alias("bm"))
+        .collect()
+    )
+    return sorted(map(tuple, rows))
+
+
 def test_purge_merge_byte_identical_to_rebuild(spark, split_build, tmp_path):
     """The physical half: a purge merge drops the tombstoned docs from
     docs/doclens/postings, recomputes stats, and its canonical block form
     is BYTE-IDENTICAL to a fresh build of the surviving corpus."""
-    from pyspark.sql import functions as F
-
     from horus_ner_spark.index.merge import merge_indexes
 
     _root, full, surv, dead_ids = split_build
@@ -182,19 +195,7 @@ def test_purge_merge_byte_identical_to_rebuild(spark, split_build, tmp_path):
     finally:
         tombstones.clear_tombstones(full.root)
 
-    def sig(paths):
-        rows = (
-            spark.read.parquet(paths.postings)
-            .select("term", "rb", "min_doc_id", "n_postings", "block_cf",
-                    F.md5(F.base64("doc_ids_vb")).alias("dh"),
-                    F.md5(F.base64("tfs_vb")).alias("th"),
-                    F.md5(F.base64("pos_vb")).alias("ph"),
-                    F.bround("block_max_tfnorm", 9).alias("bm"))
-            .collect()
-        )
-        return sorted(map(tuple, rows))
-
-    assert sig(purged) == sig(surv)
+    assert _sig(spark, purged) == _sig(spark, surv)
     stats = lambda p: sorted(  # noqa: E731
         map(tuple, spark.read.parquet(p.term_stats)
             .select("term", "df", "cf").collect())
@@ -234,6 +235,104 @@ def test_gc_tombstones_drops_only_fully_purged_files(
     removed = tombstones.gc_tombstones(root, [purged.root])
     assert removed == [f_dead]
     assert tombstones.tombstone_files(root) == [f_mixed]
+
+
+def test_smallseg_purge_canonical(spark, split_build, tmp_path):
+    """The local (smallseg) purge merge and the distributed purge merge
+    produce the same canonical block form — the streaming compaction
+    ladder purges deletes without leaving the fast path."""
+    from horus_ner_spark.index.merge import merge_indexes
+
+    _root, full, surv, dead_ids = split_build
+    tomb = np.asarray(sorted(dead_ids), dtype=np.int64)
+    local = merge_indexes(
+        spark, [full], str(tmp_path / "p_local"),
+        small_max_bytes=1 << 40, tombstones=tomb,
+    )
+    dist = merge_indexes(
+        spark, [full], str(tmp_path / "p_dist"), tombstones=tomb
+    )
+    assert _sig(spark, local) == _sig(spark, dist) == _sig(spark, surv)
+    a, b = IndexServer(local.root), IndexServer(surv.root)
+    assert (a.n_docs, a.avgdl) == (b.n_docs, b.avgdl)
+
+
+def test_streaming_delete_lifecycle(spark, tmp_path):
+    """delete -> ingest-gate -> compaction purge -> tombstone GC ->
+    re-add: the full streaming delete lifecycle.
+
+    1. two micro-batch units; root tombstones delete 30 docs across both;
+    2. re-delivering 10 of the deleted docs while the tombstone is LIVE
+       does NOT resurrect them (ingest gate);
+    3. enough batches + fanout=2 cascades compaction over every unit:
+       deletes are purged physically and the tombstone files GC;
+    4. after GC, the same documents ingest fresh and serve again.
+    """
+    from horus_ner_spark.streaming.incremental import (
+        active_units,
+        incremental_index_stream,
+    )
+
+    corpus = gen_corpus_pandas(sf=0.001).iloc[:300]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ix_root = str(tmp_path / "stream_ix")
+    cp = str(tmp_path / "cp")
+
+    def run(fanout=8):
+        q = incremental_index_stream(
+            spark, str(landing), ix_root, cp, fanout=fanout
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    corpus.iloc[:150].to_parquet(landing / "d1.parquet", index=False)
+    run()
+    corpus.iloc[150:260].to_parquet(landing / "d2.parquet", index=False)
+    run()
+
+    from horus_ner_spark.functions.xxhash import doc_ids_from_cols
+
+    dead = corpus.iloc[100:130]
+    dead_ids = doc_ids_from_cols(
+        dead["repo"].tolist(), dead["path"].tolist(), dead["commit"].tolist()
+    )
+    tombstones.delete_docs(ix_root, dead_ids)
+    tomb_dirs = (tombstones.tombstones_dir(ix_root),)
+
+    def serve():
+        return IndexServer(
+            [p for _l, p in active_units(ix_root)],
+            extra_tombstone_dirs=tomb_dirs,
+        )
+
+    n_live = serve().n_docs
+    assert n_live == 260 - 30
+
+    # 2. re-delivery of deleted docs while the tombstone is live: gated
+    dead.iloc[:10].to_parquet(landing / "d3_redeliver.parquet", index=False)
+    run()
+    assert serve().n_docs == n_live  # nothing resurrected
+
+    # 3. cascade compaction over every unit -> physical purge + GC
+    corpus.iloc[260:280].to_parquet(landing / "d4.parquet", index=False)
+    run(fanout=2)
+    corpus.iloc[280:300].to_parquet(landing / "d5.parquet", index=False)
+    run(fanout=2)
+    assert tombstones.tombstone_files(ix_root) == [], (
+        "all deleted ids purged -> tombstone files must GC"
+    )
+    srv = serve()
+    assert srv.n_docs == 300 - 30
+    r = srv.search("parse config node", k=100_000)
+    assert not set(r["doc_id"].astype("int64")) & set(
+        int(x) for x in dead_ids
+    )
+
+    # 4. after GC the same docs ingest fresh and serve again
+    dead.iloc[:10].to_parquet(landing / "d6_readd.parquet", index=False)
+    run(fanout=2)
+    assert serve().n_docs == 300 - 30 + 10
 
 
 def test_delete_matching_predicate(spark, split_build, tmp_path):
