@@ -346,6 +346,19 @@ def main() -> None:
         qfns[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # near-dup clustering: LSH pairs -> connected components -> survivors
+    # (ops/cluster.py; alternating-star rounds, the 10^12-doc-safe closure)
+    from horus_ner_spark.ops.catalog_text import lsh_banded_pairs
+    from horus_ner_spark.ops.cluster import dedup_cluster_df
+
+    t0 = time.perf_counter()
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "cast(doc_id as long) as doc_id"
+    )
+    pairs = lsh_banded_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    n_dup = dedup_cluster_df(docs_tbl, pairs).filter("NOT is_survivor").count()
+    timings["dedup_cluster_docs"] = round(time.perf_counter() - t0, 3)
+
     # per-stage build wall_s straight from the manifest (not file mtimes)
     from horus_ner_spark.index.manifest import Manifest
 
@@ -364,6 +377,7 @@ def main() -> None:
         "sf": CORPUS_SF,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "n_docs_indexed": n_docs,
+        "n_near_dup_docs": n_dup,
         "bm25_serve_p50_s": round(p50, 4),
         "bm25_serve_p99_s": round(p99, 4),
         "daemon_http_p50_ms": round(daemon_lat["p50_ms"], 3),
