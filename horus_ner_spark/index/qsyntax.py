@@ -32,6 +32,10 @@ silent reinterpretation):
                                serving layer (IndexServer.expand_prefix
                                — dictionary range scan), not here, so
                                the parser stays storage-free.
+- ``(a OR b) AND c``        -> any '('/')' routes the whole query to the
+                               parenthesized boolean planner (mode=BOOL,
+                               index/boolexpr.py — nested AND/OR/NOT,
+                               Lucene BooleanQuery semantics).
 - anything else             -> mode=OR over the whitespace terms.
 """
 
@@ -39,6 +43,8 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+
+from horus_ner_spark.index.boolexpr import is_bool_query, parse_bool
 
 _LANG_RE = re.compile(r"(?:^|\s)lang:([A-Za-z0-9_+-]+)(?=\s|$)")
 _NEAR_RE = re.compile(r"^NEAR(?:/(\d+))?$")
@@ -105,6 +111,14 @@ def parse_query(
     text = text.strip()
     if not text:
         raise ValueError("empty query")
+
+    if is_bool_query(text):
+        # parenthesized boolean expression: validated + executed by the
+        # boolean planner (index/boolexpr.py + IndexServer._search_bool);
+        # parse here too so malformed input fails at parse time (HTTP
+        # 400), not at dispatch
+        parse_bool(text)
+        return ParsedQuery(text, lang, "BOOL", default_slop, "")
 
     m = _QUOTED_PREFIX_RE.match(text)
     if m:

@@ -73,7 +73,7 @@ _BLOCK_COLS = [
     "sub_min_doc_ids", "sub_max_tfnorms",
 ]
 
-_MODES = ("OR", "AND", "PHRASE", "NEAR")
+_MODES = ("OR", "AND", "PHRASE", "NEAR", "BOOL")
 
 # Fan a conjunctive query over range buckets only when its terms span at
 # least this many postings: below it the per-bucket task overhead (block
@@ -624,6 +624,12 @@ class IndexServer:
         from horus_ner_spark.index.fuzzy import split_fuzzy_tokens
 
         mode = _valid_mode(mode)
+        if mode == "BOOL":
+            # parenthesized boolean expression (index/boolexpr.py) —
+            # compiled to an include doc-set + positive-term scoring
+            # pass; slop is meaningless here
+            return self._search_bool(query_text, lang, k, exclude_text,
+                                     with_positions)
         base_text, stems = _split_prefix_tokens(query_text)
         plain_toks, fuzzy_stems = split_fuzzy_tokens(base_text)
         base_text = " ".join(plain_toks)
@@ -764,6 +770,134 @@ class IndexServer:
         pooled.sort(key=lambda e: (-e[0], e[1]))
         return [(r + 1, d, s) for r, (s, d) in enumerate(pooled[:k])]
 
+    def _leaf_terms(self, token: str, lang: str) -> tuple[list[str], str]:
+        """One boolean leaf -> (index terms, 'any'|'all').  A trailing
+        ``*``/``~`` leaf expands via the dictionary and requires ANY
+        expansion; a plain token runs through the index tokenizer and —
+        if it splits (``fooBar`` -> foo, bar) — requires ALL sub-tokens
+        (the user typed one identifier)."""
+        if len(token) > 1 and token.endswith("*"):
+            if "*" in token[:-1]:
+                raise ValueError(
+                    f"wildcard {token!r}: '*' is supported only as a "
+                    "single trailing character (prefix query)"
+                )
+            return self.expand_prefix(token[:-1], lang)[0], "any"
+        if len(token) > 1 and token.endswith("~"):
+            return self.expand_fuzzy(token[:-1], lang)[0], "any"
+        if "*" in token or "~" in token:
+            raise ValueError(
+                f"wildcard {token!r}: '*'/'~' are supported only as a "
+                "single trailing character"
+            )
+        return sorted(set(tokenize(token, lang))), "all"
+
+    def _bool_include(self, node, lang: str):
+        """Evaluate a boolexpr AST to the sorted live doc-id match set
+        (None = empty).  Set algebra over per-term live doc sets — every
+        leaf fetch is the same LRU-shared postings decode the scorer
+        reuses, so the match-set pass adds no extra storage reads."""
+        from horus_ner_spark.index.boolexpr import (
+            AndNode,
+            Leaf,
+            NotNode,
+            OrNode,
+        )
+
+        if isinstance(node, Leaf):
+            terms, req = self._leaf_terms(node.token, lang)
+            if not terms:
+                return None
+            if req == "any":
+                return self._live_docs_any(terms)
+            out = None
+            for t in terms:
+                d = self._live_docs_any([t])
+                if d is None:
+                    return None
+                out = d if out is None else out[_in_sorted(d, out)]
+                if not len(out):
+                    return None
+            return out
+        if isinstance(node, OrNode):
+            sets = [self._bool_include(c, lang) for c in node.children]
+            sets = [s for s in sets if s is not None and len(s)]
+            if not sets:
+                return None
+            out = sets[0]
+            for s in sets[1:]:
+                out = np.union1d(out, s)
+            return out
+        if isinstance(node, AndNode):
+            pos = [c for c in node.children if not isinstance(c, NotNode)]
+            neg = [c.child for c in node.children if isinstance(c, NotNode)]
+            out = None
+            for c in pos:  # parse_bool validated >=1 positive clause
+                s = self._bool_include(c, lang)
+                if s is None:
+                    return None
+                out = s if out is None else out[_in_sorted(s, out)]
+                if not len(out):
+                    return None
+            for c in neg:
+                s = self._bool_include(c, lang)
+                if s is not None and len(s):
+                    out = np.setdiff1d(out, s)
+                    if not len(out):
+                        return None
+            return out
+        raise AssertionError(f"unknown boolexpr node {type(node).__name__}")
+
+    def _search_bool(self, query_text: str, lang: str, k: int,
+                     exclude_text: str = "",
+                     with_positions: bool = False) -> pd.DataFrame:
+        """Parenthesized boolean query -> top-k (rank, doc_id, score).
+
+        Plan: parse + validate (boolexpr.parse_bool), evaluate the match
+        set with sorted-array set algebra over live per-term doc sets,
+        then score ONLY the positive leaves' terms with the vectorized
+        exhaustive kernel restricted to the match set (the same
+        include-set path grouped AND uses) — Lucene BooleanQuery
+        semantics: filter-only clauses gate membership but contribute no
+        score; ranking is (-score, doc_id)."""
+        from horus_ner_spark.index.boolexpr import parse_bool, positive_leaves
+
+        if '"' in query_text:
+            raise ValueError(
+                "phrases inside boolean groups are not supported — "
+                "use a flat \"...\" query"
+            )
+        ast = parse_bool(query_text)
+        cols = ["rank", "doc_id", "score"] + (
+            ["positions"] if with_positions else []
+        )
+        empty = pd.DataFrame(columns=cols)
+        include = self._bool_include(ast, lang)
+        if include is None or not len(include):
+            return empty
+        user_exclude = self._user_exclude(exclude_text, lang)
+        sterms: set[str] = set()
+        for tok in positive_leaves(ast):
+            sterms.update(self._leaf_terms(tok, lang)[0])
+        loaded = self._load_terms(sorted(sterms))
+        if not loaded:
+            return empty
+        rows = self._grouped_and_run(
+            {t: b for t, (_df, b) in loaded.items()},
+            {t: df for t, (df, _b) in loaded.items()},
+            k, include, user_exclude,
+        )
+        out = pd.DataFrame(rows, columns=["rank", "doc_id", "score"])
+        if with_positions:
+            terms = sorted(sterms)
+            mp = self.match_positions(out["doc_id"], " ".join(terms),
+                                      lang, terms=terms)
+            out["positions"] = [
+                {t: mp[t][d] for t in mp if d in mp[t]}
+                for d in out["doc_id"].astype("int64")
+            ]
+        return out
+
     def match_positions(self, doc_ids, query_text: str,
                         lang: str = "python",
                         terms: list[str] | None = None) -> dict:
@@ -891,14 +1025,24 @@ class IndexServer:
         storage read after the postings fetch."""
         mode = _valid_mode(mode)
         if mode in ("PHRASE", "NEAR"):
-            raise ValueError("facets support OR/AND modes only")
+            raise ValueError("facets support OR/AND/BOOL modes only")
+        out_cols = ["facet", "value", "n_docs"]
+        if mode == "BOOL":
+            from horus_ner_spark.index.boolexpr import parse_bool
+
+            match = self._bool_include(parse_bool(query_text), lang)
+            if match is None or not len(match):
+                return pd.DataFrame(columns=out_cols)
+            veto = self._user_exclude(exclude_text, lang)
+            if veto is not None:
+                match = match[~_in_sorted(veto, match)]
+            return self._facet_rows(match, by)
         base_text, stems = _split_prefix_tokens(query_text)
         groups = []
         for st in stems:
             exp, _trunc = self.expand_prefix(st, lang)
             groups.append(exp)
         plain = sorted(set(tokenize(base_text, lang)))
-        out_cols = ["facet", "value", "n_docs"]
         if mode == "AND":
             if (not plain and not groups) or any(not g for g in groups):
                 return pd.DataFrame(columns=out_cols)
@@ -911,6 +1055,12 @@ class IndexServer:
         veto = self._user_exclude(exclude_text, lang)
         if veto is not None:
             match = match[~_in_sorted(veto, match)]
+        return self._facet_rows(match, by)
+
+    def _facet_rows(self, match: np.ndarray, by: tuple) -> pd.DataFrame:
+        """searchsorted + bincount over in-memory doc-values for one
+        already-computed match set -> the facets() output frame."""
+        out_cols = ["facet", "value", "n_docs"]
         rows = []
         for col in by:
             ids, codes, cats = self._doc_values(col)
