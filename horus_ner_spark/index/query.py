@@ -371,6 +371,137 @@ def bm25_bruteforce(
     )
 
 
+def bm25_bool(
+    spark: SparkSession,
+    paths: IndexPaths,
+    expr_text: str,
+    lang: str = "python",
+    k: int = 10,
+) -> DataFrame:
+    """Bulk (Spark) twin of the serve surface's parenthesized boolean
+    planner -> results(rank, doc_id, score), rank/score-identical to
+    ``IndexServer.search(mode="BOOL")`` on a compacted index.
+
+    The AST (index/boolexpr.py — same parser/validator as serve)
+    compiles to relational set algebra on the tf table: a leaf is a
+    term-pruned distinct-doc projection ('all' leaves — split
+    identifiers — need every sub-token, a HAVING count(distinct term)
+    gate); OR is union, AND chains left-semi joins, NOT is a left-anti
+    join (validated: only inside a conjunction with a positive clause,
+    so the anti side is always term-bounded, never a corpus
+    complement).  Scoring then reuses the brute-force shape — tf joined
+    to the broadcast POSITIVE-leaf terms only (filter clauses gate
+    membership, contribute no score), one groupBy(doc_id) sum,
+    semi-joined to the match set before the top-k window."""
+    from horus_ner_spark.index.boolexpr import (
+        AndNode,
+        Leaf,
+        NotNode,
+        OrNode,
+        parse_bool,
+        positive_leaves,
+    )
+    from horus_ner_spark.index.fuzzy import expand_fuzzy_spark
+
+    if '"' in expr_text:
+        raise ValueError(
+            "phrases inside boolean groups are not supported — "
+            "use the PHRASE mode on a flat query"
+        )
+    ast = parse_bool(expr_text)
+    stats = read_corpus_stats(paths)
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    tf = spark.read.parquet(paths.tf)
+
+    def leaf_terms(token: str) -> tuple[list[str], str]:
+        if len(token) > 1 and token.endswith("*"):
+            return expand_prefix_spark(spark, paths, token[:-1], lang)[0], "any"
+        if len(token) > 1 and token.endswith("~"):
+            return expand_fuzzy_spark(spark, paths, token[:-1], lang)[0], "any"
+        if "*" in token or "~" in token:
+            raise ValueError(
+                f"wildcard {token!r}: '*'/'~' are supported only as a "
+                "single trailing character"
+            )
+        return sorted(set(tokenize(token, lang))), "all"
+
+    def docs_of(node) -> DataFrame | None:
+        """Distinct doc_id frame of the node's match set (None = empty)."""
+        if isinstance(node, Leaf):
+            terms, req = leaf_terms(node.token)
+            if not terms:
+                return None
+            hit = tf.filter(F.col("term").isin(terms))
+            if req == "any" or len(terms) == 1:
+                return hit.select("doc_id").distinct()
+            return (
+                hit.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .filter(F.col("nt") == len(terms))
+                .select("doc_id")
+            )
+        if isinstance(node, OrNode):
+            sets = [docs_of(c) for c in node.children]
+            sets = [s for s in sets if s is not None]
+            if not sets:
+                return None
+            out = sets[0]
+            for s in sets[1:]:
+                out = out.unionByName(s)
+            return out.distinct()
+        if isinstance(node, AndNode):
+            pos = [c for c in node.children if not isinstance(c, NotNode)]
+            neg = [c.child for c in node.children if isinstance(c, NotNode)]
+            out = None
+            for c in pos:  # parse_bool validated >=1 positive clause
+                s = docs_of(c)
+                if s is None:
+                    return None
+                out = s if out is None else out.join(s, "doc_id", "left_semi")
+            for c in neg:
+                s = docs_of(c)
+                if s is not None:
+                    out = out.join(s, "doc_id", "left_anti")
+            return out
+        raise AssertionError(f"unknown boolexpr node {type(node).__name__}")
+
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    include = docs_of(ast)
+    if include is None:
+        return empty
+    sterms: set[str] = set()
+    for tok in positive_leaves(ast):
+        sterms.update(leaf_terms(tok)[0])
+    if not sterms:
+        return empty
+    qt = spark.createDataFrame(
+        [(t,) for t in sorted(sterms)], "term string"
+    )
+    term_stats = (
+        spark.read.parquet(paths.term_stats)
+        .join(F.broadcast(qt), "term")
+        .select("term", "df")
+    )
+    top = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_stats), "term")
+        .withColumn("contrib", _bm25_expr(n_docs, avgdl))
+        .groupBy("doc_id")
+        .agg(F.bround(F.sum("contrib"), bm25.QUANT).alias("score"))
+        .join(include, "doc_id", "left_semi")
+        # orderBy+limit -> TakeOrderedAndProject: per-partition k-heaps,
+        # never a single-partition sort of the full match set
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # <= k rows
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 # ───────────────────────────── block-max WAND ─────────────────────────────
 
 # Exhausted-iterator sentinel: must exceed every legal doc_id.  doc_ids are

@@ -252,3 +252,39 @@ def test_bool_via_daemon(server, sf001_index):
         assert code == 200
     finally:
         daemon.shutdown()
+
+
+# ── Spark bulk twin ──────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("expr", [
+    "(cache OR buffer) AND stream",
+    "((cache AND node) OR (encode AND decode)) AND NOT mutex",
+    "(cache AND NOT (node OR tree))",
+    "(parseConfig OR stream)",
+    "(cach* AND stream)",
+    "(qqqzzzabsent OR cache)",
+])
+def test_bm25_bool_matches_serve(spark, sf001_index, server, expr):
+    from horus_ner_spark.index.query import bm25_bool
+
+    _cp, paths = sf001_index
+    got = bm25_bool(spark, paths, expr, "python", k=10).toPandas()
+    want = server.search(expr, "python", k=10, mode="BOOL")
+    assert [int(d) for d in got["doc_id"]] == [int(d) for d in want["doc_id"]]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(dtype=float),
+        want["score"].to_numpy(dtype=float), rtol=1e-9,
+    )
+
+
+def test_bm25_bool_empty_and_errors(spark, sf001_index):
+    from horus_ner_spark.index.query import bm25_bool
+
+    _cp, paths = sf001_index
+    out = bm25_bool(spark, paths, "(qqqzzzabsent AND cache)", "python", k=10)
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        bm25_bool(spark, paths, "(cache OR", "python")
+    with pytest.raises(ValueError):
+        bm25_bool(spark, paths, "(NOT cache)", "python")
