@@ -61,10 +61,11 @@ def _worker_init(index_dir) -> None:
 
 
 def _worker_search(qt: str, lang: str, k: int, mode: str, slop: int,
-                   exclude: str = "", positions: bool = False) -> list:
+                   exclude: str = "", positions: bool = False,
+                   filters: tuple = ()) -> list:
     return _WORKER_SRV.search(
         qt, lang, k, mode, slop=slop, exclude_text=exclude,
-        with_positions=positions,
+        with_positions=positions, filters=dict(filters) or None,
     ).to_dict(orient="records")
 
 
@@ -309,26 +310,34 @@ class ServeDaemon:
                             qt, lang = p.query_text, p.lang
                             mode, slop = p.mode, p.slop
                             exclude = p.exclude
+                            filters = p.filters
                         else:
                             qt = req.get("query_text", "")
                             lang = req.get("lang", "python")
                             mode = req.get("mode", "OR")
                             slop = int(req.get("slop", 8))
                             exclude = str(req.get("exclude", ""))
+                            # {"filters": {"repo": ..., "path": ...}}
+                            filters = tuple(sorted(
+                                (str(c), str(v)) for c, v in
+                                dict(req.get("filters") or {}).items()
+                            ))
                         positions = bool(req.get("positions", False))
                         if daemon._pool is not None:
                             compute = lambda: daemon._pool.submit(  # noqa: E731
                                 _worker_search, qt, lang, k, mode, slop,
-                                exclude, positions,
+                                exclude, positions, filters,
                             ).result()
                         else:
                             compute = lambda: daemon.server.search(  # noqa: E731
                                 qt, lang, k, mode, slop=slop,
                                 exclude_text=exclude,
                                 with_positions=positions,
+                                filters=dict(filters) or None,
                             ).to_dict(orient="records")
                         records = daemon._results.get_or_compute(
-                            (qt, lang, k, mode, slop, exclude, positions),
+                            (qt, lang, k, mode, slop, exclude, positions,
+                             filters),
                             compute,
                         )
                         if req.get("snippets"):
@@ -361,13 +370,14 @@ class ServeDaemon:
                             # in-memory doc-values; cached like results
                             # (pure function of the immutable index)
                             fkey = ("facets", qt, lang, mode, exclude,
-                                    tuple(facet_by))
+                                    tuple(facet_by), filters)
                             facet_rows = daemon._results.get_or_compute(
                                 fkey,
                                 lambda: daemon.server.facets(
                                     qt, lang, mode=mode,
                                     by=tuple(facet_by),
                                     exclude_text=exclude,
+                                    filters=dict(filters) or None,
                                 ).to_dict(orient="records"),
                             )
                     elif self.path == "/search_batch":

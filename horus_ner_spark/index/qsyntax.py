@@ -12,6 +12,11 @@ Grammar (one operator family per query — mixing is a loud error, never a
 silent reinterpretation):
 
 - ``lang:python foo bar``   -> lang selector; may appear anywhere once.
+- ``repo:linux path:fs/ x`` -> metadata filters (repo exact, path
+                               prefix), any mode incl. BOOL/PHRASE/NEAR;
+                               resolved against doc-values in the
+                               serving layer, scores untouched (Lucene
+                               filter-context semantics).
 - ``"exact phrase"``        -> mode=PHRASE over the quoted text.
 - ``foo AND bar AND baz``   -> mode=AND (operators are UPPERCASE only:
                                lowercase ``and`` is a plain term, so
@@ -47,6 +52,10 @@ from dataclasses import dataclass
 from horus_ner_spark.index.boolexpr import is_bool_query, parse_bool
 
 _LANG_RE = re.compile(r"(?:^|\s)lang:([A-Za-z0-9_+-]+)(?=\s|$)")
+# metadata filter selectors: repo:name (exact), path:prefix — resolved
+# against the index's doc-values (IndexServer._filter_exclude); values
+# may contain any non-space characters (paths have '/', '.', '-')
+_FILTER_RE = re.compile(r"(?:^|\s)(repo|path):(\S+)")
 _NEAR_RE = re.compile(r"^NEAR(?:/(\d+))?$")
 _QUOTED_RE = re.compile(r'^"(.*)"$', re.S)
 _QUOTED_PREFIX_RE = re.compile(r'^"([^"]*)"(.*)$', re.S)
@@ -88,6 +97,9 @@ class ParsedQuery:
     mode: str
     slop: int
     exclude: str = ""  # space-joined excluded terms ("" = none)
+    # metadata filter selectors as sorted (column, value) pairs — a
+    # tuple (not a dict) so the dataclass stays hashable for cache keys
+    filters: tuple = ()
 
 
 def parse_query(
@@ -108,6 +120,14 @@ def parse_query(
     if langs:
         lang = langs[0]
         text = _LANG_RE.sub(" ", text, count=1)
+    fdict: dict = {}
+    for fcol, fval in _FILTER_RE.findall(text):
+        if fcol in fdict and fdict[fcol] != fval:
+            raise ValueError(f"multiple {fcol}: selectors")
+        fdict[fcol] = fval
+    if fdict:
+        text = _FILTER_RE.sub(" ", text)
+    filters = tuple(sorted(fdict.items()))
     text = text.strip()
     if not text:
         raise ValueError("empty query")
@@ -118,7 +138,8 @@ def parse_query(
         # parse here too so malformed input fails at parse time (HTTP
         # 400), not at dispatch
         parse_bool(text)
-        return ParsedQuery(text, lang, "BOOL", default_slop, "")
+        return ParsedQuery(text, lang, "BOOL", default_slop, "",
+                           filters)
 
     m = _QUOTED_PREFIX_RE.match(text)
     if m:
@@ -135,7 +156,7 @@ def parse_query(
                     "mixing a phrase with bare terms is not supported"
                 )
         return ParsedQuery(phrase, lang, "PHRASE", default_slop,
-                           " ".join(excl))
+                           " ".join(excl), filters)
     if '"' in text:
         raise ValueError(
             "quotes must wrap the whole query (phrase mode) — "
@@ -164,7 +185,7 @@ def parse_query(
 
     if not ops:
         return ParsedQuery(" ".join(terms), lang, "OR", default_slop,
-                           " ".join(excluded))
+                           " ".join(excluded), filters)
     if len(ops) != len(terms) - 1:
         raise ValueError("operators must separate every term")
     kinds = {o[0] for o in ops}
@@ -180,4 +201,5 @@ def parse_query(
             slop = slops.pop()
         if slop < 1:
             raise ValueError("NEAR slop must be >= 1")
-    return ParsedQuery(" ".join(terms), lang, mode, slop, " ".join(excluded))
+    return ParsedQuery(" ".join(terms), lang, mode, slop,
+                       " ".join(excluded), filters)

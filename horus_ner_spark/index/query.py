@@ -377,6 +377,7 @@ def bm25_bool(
     expr_text: str,
     lang: str = "python",
     k: int = 10,
+    filters: dict | None = None,
 ) -> DataFrame:
     """Bulk (Spark) twin of the serve surface's parenthesized boolean
     planner -> results(rank, doc_id, score), rank/score-identical to
@@ -469,6 +470,24 @@ def bm25_bool(
     include = docs_of(ast)
     if include is None:
         return empty
+    if filters:
+        # metadata filters (repo exact / path prefix): a pushdown-friendly
+        # docs-table predicate semi-joined into the match set — the bulk
+        # twin of IndexServer._filter_exclude, same filter-context
+        # contract (membership only, scores untouched)
+        dsel = spark.read.parquet(paths.docs)
+        for col, want in dict(filters).items():
+            if col == "repo":
+                dsel = dsel.filter(F.col("repo") == want)
+            elif col == "path":
+                dsel = dsel.filter(F.col("path").startswith(want))
+            else:
+                raise ValueError(
+                    f"unknown filter column {col!r}; expected repo/path"
+                )
+        include = include.join(
+            dsel.select("doc_id"), "doc_id", "left_semi"
+        )
     sterms: set[str] = set()
     for tok in positive_leaves(ast):
         sterms.update(leaf_terms(tok)[0])

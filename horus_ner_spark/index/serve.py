@@ -591,7 +591,8 @@ class IndexServer:
     def search(self, query_text: str, lang: str = "python", k: int = 10,
                mode: str = "OR", slop: int = 8,
                exclude_text: str = "",
-               with_positions: bool = False) -> pd.DataFrame:
+               with_positions: bool = False,
+               filters=None) -> pd.DataFrame:
         """Top-k for one query -> (rank, doc_id, score).
 
         ``mode="AND"`` requires every query term to match (conjunctive
@@ -629,7 +630,7 @@ class IndexServer:
             # compiled to an include doc-set + positive-term scoring
             # pass; slop is meaningless here
             return self._search_bool(query_text, lang, k, exclude_text,
-                                     with_positions)
+                                     with_positions, filters)
         base_text, stems = _split_prefix_tokens(query_text)
         plain_toks, fuzzy_stems = split_fuzzy_tokens(base_text)
         base_text = " ".join(plain_toks)
@@ -654,6 +655,10 @@ class IndexServer:
         )
         empty = pd.DataFrame(columns=cols)
         user_exclude = self._user_exclude(exclude_text, lang)
+        fx = self._filter_exclude(filters)
+        if fx is not None:
+            user_exclude = (fx if user_exclude is None
+                            else np.union1d(user_exclude, fx))
         if mode in ("PHRASE", "NEAR"):
             if not terms:
                 return empty
@@ -850,7 +855,8 @@ class IndexServer:
 
     def _search_bool(self, query_text: str, lang: str, k: int,
                      exclude_text: str = "",
-                     with_positions: bool = False) -> pd.DataFrame:
+                     with_positions: bool = False,
+                     filters=None) -> pd.DataFrame:
         """Parenthesized boolean query -> top-k (rank, doc_id, score).
 
         Plan: parse + validate (boolexpr.parse_bool), evaluate the match
@@ -876,6 +882,10 @@ class IndexServer:
         if include is None or not len(include):
             return empty
         user_exclude = self._user_exclude(exclude_text, lang)
+        fx = self._filter_exclude(filters)
+        if fx is not None:
+            user_exclude = (fx if user_exclude is None
+                            else np.union1d(user_exclude, fx))
         sterms: set[str] = set()
         for tok in positive_leaves(ast):
             sterms.update(self._leaf_terms(tok, lang)[0])
@@ -963,7 +973,50 @@ class IndexServer:
             frames.append(t)
         return pd.concat(frames, ignore_index=True)
 
-    _FACET_COLS = ("lang", "repo")
+    _FACET_COLS = ("lang", "repo", "path")
+
+    # metadata filter selectors (repo:name exact, path:prefix): resolved
+    # against the same doc-values the facet counter uses
+    _FILTER_COLS = ("repo", "path")
+
+    def _filter_exclude(self, filters):
+        """{'repo': exact-name, 'path': path-prefix} -> sorted doc ids
+        to EXCLUDE (the complement of the docs matching every filter,
+        over live docs), or None for no filters.
+
+        Compiled as an exclusion so every kernel path — OR/AND/WAND,
+        PHRASE, NEAR, BOOL — honors metadata filters unchanged through
+        the existing user_exclude plumbing, with scores untouched (BM25
+        stats are corpus-level; a filter narrows the candidate set, it
+        does not re-weight it — the Lucene filter-context contract).
+        Union of per-filter complements == complement of the filters'
+        intersection.  Cost: one in-memory doc-values pass per filter
+        column (O(n_docs) int arrays, loaded once per server)."""
+        if not filters:
+            return None
+        out = None
+        for col, want in dict(filters).items():
+            if col not in self._FILTER_COLS:
+                raise ValueError(
+                    f"unknown filter column {col!r}; expected one of "
+                    f"{self._FILTER_COLS}"
+                )
+            if not isinstance(want, str) or not want:
+                raise ValueError(f"filter {col!r} needs a non-empty string")
+            ids, codes, cats = self._doc_values(col)
+            if col == "repo":
+                try:
+                    mask = codes == cats.index(want)
+                except ValueError:  # repo not in corpus: everything excluded
+                    mask = np.zeros(len(ids), dtype=bool)
+            else:  # path: prefix match on the category dictionary
+                ok = np.flatnonzero(np.char.startswith(
+                    np.asarray(cats, dtype="str"), want
+                ))
+                mask = np.isin(codes, ok)
+            excl = ids[~mask]
+            out = excl if out is None else np.union1d(out, excl)
+        return out
 
     def _doc_values(self, col: str):
         """Doc-values (forward index) for one metadata column ->
@@ -1011,7 +1064,7 @@ class IndexServer:
 
     def facets(self, query_text: str, lang: str = "python",
                mode: str = "OR", by: tuple = ("lang", "repo"),
-               exclude_text: str = "") -> pd.DataFrame:
+               exclude_text: str = "", filters=None) -> pd.DataFrame:
         """Facet counts over the FULL match set of a query ->
         (facet, value, n_docs), n_docs desc / value asc per facet.
 
@@ -1034,6 +1087,9 @@ class IndexServer:
             if match is None or not len(match):
                 return pd.DataFrame(columns=out_cols)
             veto = self._user_exclude(exclude_text, lang)
+            fx = self._filter_exclude(filters)
+            if fx is not None:
+                veto = fx if veto is None else np.union1d(veto, fx)
             if veto is not None:
                 match = match[~_in_sorted(veto, match)]
             return self._facet_rows(match, by)
@@ -1053,6 +1109,9 @@ class IndexServer:
         if match is None or not len(match):
             return pd.DataFrame(columns=out_cols)
         veto = self._user_exclude(exclude_text, lang)
+        fx = self._filter_exclude(filters)
+        if fx is not None:
+            veto = fx if veto is None else np.union1d(veto, fx)
         if veto is not None:
             match = match[~_in_sorted(veto, match)]
         return self._facet_rows(match, by)
@@ -1183,7 +1242,8 @@ class IndexServer:
         p = parse_query(text, default_lang=default_lang,
                         default_slop=default_slop)
         return self.search(p.query_text, p.lang, k, p.mode, slop=p.slop,
-                           exclude_text=p.exclude)
+                           exclude_text=p.exclude,
+                           filters=dict(p.filters) or None)
 
     def _get_pool(self) -> ThreadPoolExecutor:
         with self._pool_lock:

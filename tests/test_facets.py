@@ -124,7 +124,10 @@ def test_facets_errors_and_empty(sf001_index):
     with pytest.raises(ValueError, match="OR/AND"):
         srv.facets("cache node", mode="PHRASE")
     with pytest.raises(ValueError, match="unknown facet column"):
-        srv.facets("cache", by=("path",))
+        srv.facets("cache", by=("commit",))
+    # "path" became a legal doc-values column with the metadata-filter
+    # feature (filters={"path": prefix}); faceting by it works too
+    assert len(srv.facets("cache node", by=("path",))) > 0
     assert len(srv.facets("qqqzzz", mode="OR")) == 0
 
 
