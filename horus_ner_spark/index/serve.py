@@ -1468,7 +1468,7 @@ class IndexServer:
             {
                 t
                 for q in queries
-                if modes[q["query_id"]] not in ("PHRASE", "NEAR")
+                if modes[q["query_id"]] not in ("PHRASE", "NEAR", "BOOL")
                 and "*" not in q["query_text"]
                 and "~" not in q["query_text"]
                 for t in per_q[q["query_id"]]
@@ -1478,19 +1478,22 @@ class IndexServer:
         frames = []
         for q in queries:
             qid = q["query_id"]
-            if (modes[qid] in ("PHRASE", "NEAR") or q.get("exclude")
+            if (modes[qid] in ("PHRASE", "NEAR", "BOOL") or q.get("exclude")
+                    or q.get("filters")
                     or "*" in q["query_text"]
                     or "~" in q["query_text"]):
                 # positional modes bypass the batch fetch by design;
                 # queries with a NOT veto route per-query too (the veto
-                # set is query-specific, not batchable); prefix
-                # wildcards route per-query because the batch term
+                # set is query-specific, not batchable), as do metadata
+                # filters and BOOL expressions (per-query set algebra);
+                # prefix wildcards route per-query because the batch term
                 # fetch tokenizes (which strips '*'/'~') — search()
                 # owns the expansion (prefix and fuzzy alike)
                 res = self.search(
                     q["query_text"], q.get("lang", "python"),
                     q.get("k", 10), modes[qid], slop=int(q.get("slop", 8)),
                     exclude_text=q.get("exclude", ""),
+                    filters=q.get("filters"),
                 )
                 if len(res):
                     frames.append(

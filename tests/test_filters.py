@@ -175,3 +175,23 @@ def test_filters_via_daemon(server, sf001_index, sample_meta):
             [int(d) for d in want["doc_id"]]
     finally:
         daemon.shutdown()
+
+
+def test_search_batch_routes_bool_and_filters(server, sample_meta):
+    repo, _ = sample_meta
+    out = server.search_batch([
+        {"query_id": 0, "query_text": "(cache OR buffer) AND stream",
+         "mode": "BOOL", "k": 10},
+        {"query_id": 1, "query_text": "cache buffer", "mode": "OR",
+         "k": 10, "filters": {"repo": repo}},
+        {"query_id": 2, "query_text": "cache buffer", "mode": "OR",
+         "k": 10},
+    ])
+    want0 = server.search("(cache OR buffer) AND stream", "python", 10,
+                          "BOOL")
+    want1 = server.search("cache buffer", "python", 10, "OR",
+                          filters={"repo": repo})
+    want2 = server.search("cache buffer", "python", 10, "OR")
+    for qid, want in [(0, want0), (1, want1), (2, want2)]:
+        got = out[out["query_id"] == qid]
+        assert list(got["doc_id"]) == list(want["doc_id"]), qid
