@@ -1324,6 +1324,24 @@ def _wand_one_query(
     return [(r + 1, -nd, q) for r, (q, nd) in enumerate(ranked)]
 
 
+_BULK_MODES = ("OR", "AND", "PHRASE", "NEAR")
+
+
+def _validate_modes(modes: dict[int, str], fn: str) -> None:
+    """Loud, not silent: an unknown mode (e.g. "BOOL", which is the
+    serve surface's / bm25_bool's job, or a typo) must never fall
+    through to flat OR scoring."""
+    for qid, m in modes.items():
+        if m not in _BULK_MODES:
+            raise ValueError(
+                f"{fn} supports modes {_BULK_MODES}; got {m!r} "
+                f"(query_id {qid})"
+                + ("; parenthesized boolean queries run via bm25_bool "
+                   "or IndexServer.search(mode='BOOL')"
+                   if m == "BOOL" else "")
+            )
+
+
 def _validate_slops(slops: dict[int, int]) -> None:
     """Driver-side NEAR slop validation — same contract as the kernel's
     (_dispatch_query), applied before any Spark job launches."""
@@ -1424,6 +1442,7 @@ def bm25_wand(
     ex_rows = _exclude_terms(queries)
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    _validate_modes(modes, "bm25_wand")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
@@ -1734,6 +1753,7 @@ def _rb_fanout_distributed(
     qids = {q["query_id"] for q in queries}
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    _validate_modes(modes, "_rb_fanout_distributed")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
@@ -2068,6 +2088,7 @@ def bm25_wand_segments(
     qt_rows = _query_terms(queries)
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
+    _validate_modes(modes, "bm25_wand_segments")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries

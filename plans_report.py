@@ -246,6 +246,32 @@ def main() -> None:
         )
     )
 
+    from horus_ner_spark.index.query import bm25_bool
+
+    bool_plan = bm25_bool(
+        spark, paths, "(cache OR buffer) AND stream AND NOT mutex",
+        "python", k=10, filters={"path": "src/"},
+    )
+    sections.append(
+        (
+            "Boolean bulk query (bm25_bool: set algebra + filter semi-join)",
+            explain_str(bool_plan),
+            [
+                "leaf doc-sets are term-pruned tf scans (In(term, ...) in "
+                "PushedFilters); AND chains LeftSemi joins, NOT is a "
+                "LeftAnti — the anti side is a term's doc set, bounded by "
+                "the positivity rule, never a corpus complement",
+                "the repo/path metadata filter is a docs-table predicate "
+                "(StartsWith pushed to the scan) semi-joined into the "
+                "match set — membership only, scores untouched",
+                "scoring joins tf to the BROADCAST positive-term list "
+                "(BroadcastHashJoin), one map-side-combinable "
+                "HashAggregate, then TakeOrderedAndProject — per-partition "
+                "k-heaps, no single-partition sort of the match set",
+            ],
+        )
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan evidence for the hot paths\n\n"

@@ -120,6 +120,14 @@ def main() -> None:
 
             pq = parse_query(args.query, default_lang=args.lang,
                              default_slop=args.slop)
+            if pq.mode != "BOOL" and pq.filters:
+                # loud, not silent: the flat bulk kernels have no
+                # metadata-filter path (serve and bm25_bool do)
+                p.error(
+                    "repo:/path: filters on the bulk CLI need a "
+                    "parenthesized boolean query (routed via bm25_bool) "
+                    "or the serve daemon"
+                )
             qdict = {"query_id": 0, "query_text": pq.query_text,
                      "lang": pq.lang, "k": args.k, "mode": pq.mode,
                      "slop": pq.slop, "exclude": pq.exclude}
@@ -127,15 +135,27 @@ def main() -> None:
             qdict = {"query_id": 0, "query_text": args.query,
                      "lang": args.lang, "k": args.k, "mode": args.mode,
                      "slop": args.slop, "exclude": args.exclude}
-        if "*" in qdict["query_text"] or "*" in (qdict.get("exclude") or ""):
-            # prefix wildcards: expand against the term dictionary before
-            # the bulk path (which tokenizes, and tokenizing strips '*')
-            from horus_ner_spark.index.query import rewrite_prefix_queries
+        if qdict["mode"] == "BOOL":
+            # parenthesized boolean query -> the set-algebra bulk twin
+            # (bm25_wand rejects mode=BOOL loudly; this is its router)
+            from horus_ner_spark.index.query import bm25_bool
 
-            [qdict] = rewrite_prefix_queries(
-                spark, IndexPaths(args.index), [qdict]
-            )
-        rdf = bm25_wand(spark, IndexPaths(args.index), [qdict])
+            rdf = bm25_bool(
+                spark, IndexPaths(args.index), qdict["query_text"],
+                qdict["lang"], qdict["k"],
+                filters=dict(pq.filters) or None,
+            ).selectExpr("0 as query_id", "rank", "doc_id", "score")
+        else:
+            if "*" in qdict["query_text"] or "*" in (qdict.get("exclude") or ""):
+                # prefix wildcards: expand against the term dictionary
+                # before the bulk path (which tokenizes, and tokenizing
+                # strips '*')
+                from horus_ner_spark.index.query import rewrite_prefix_queries
+
+                [qdict] = rewrite_prefix_queries(
+                    spark, IndexPaths(args.index), [qdict]
+                )
+            rdf = bm25_wand(spark, IndexPaths(args.index), [qdict])
         res = rdf.collect()  # single execution; export re-uses the rows
         if args.export:
             if not args.out:

@@ -288,3 +288,16 @@ def test_bm25_bool_empty_and_errors(spark, sf001_index):
         bm25_bool(spark, paths, "(cache OR", "python")
     with pytest.raises(ValueError):
         bm25_bool(spark, paths, "(NOT cache)", "python")
+
+
+def test_bulk_paths_reject_bool_mode(spark, sf001_index):
+    """mode=BOOL must never fall through to flat OR scoring on the bulk
+    kernels — loud ValueError pointing at bm25_bool."""
+    from horus_ner_spark.index.query import bm25_wand
+
+    _cp, paths = sf001_index
+    with pytest.raises(ValueError, match="bm25_bool"):
+        bm25_wand(spark, paths, [
+            {"query_id": 0, "query_text": "(cache OR buffer)",
+             "mode": "BOOL", "k": 5},
+        ])
