@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_cluster_df"]
+__all__ = ["connected_components", "dedup_cluster_df", "dedup_corpus"]
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -162,3 +162,21 @@ def dedup_cluster_df(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def dedup_corpus(corpus: DataFrame, pairs: DataFrame,
+                 doc_id_col: str = "doc_id") -> DataFrame:
+    """Near-dup-cleaned corpus: keep exactly the survivor rows.
+
+    The training-data pipeline's terminal step (pairs -> components ->
+    survivors -> filtered corpus), expressed as one left-ANTI join of
+    the corpus against the non-survivor label rows — the anti side is
+    bounded by the near-dup population (every labeled node minus the
+    component roots), never the corpus, so the corpus itself is
+    streamed through one broadcast-or-shuffle anti join and its columns
+    are untouched.  Feed the result to ``index.build.build_index`` for
+    a dedup-cleaned index."""
+    labels = connected_components(pairs)
+    losers = labels.where(F.col("node") != F.col("component")) \
+                   .select(F.col("node").alias(doc_id_col))
+    return corpus.join(losers, doc_id_col, "left_anti")

@@ -126,3 +126,26 @@ def test_dedup_cluster_on_lsh_pairs(spark, tmp_path):
         assert len(survivors) == 1
         assert survivors[0]["doc_id"] == min(m["doc_id"] for m in members)
         assert cid == min(m["doc_id"] for m in members)
+
+
+def test_dedup_corpus_keeps_exactly_survivors(spark):
+    """dedup_corpus == corpus filtered to dedup_cluster_df survivors,
+    all columns untouched."""
+    from horus_ner_spark.ops.cluster import dedup_corpus
+
+    edges = [(1, 2), (2, 3), (10, 11), (3, 1)]
+    docs = spark.createDataFrame(
+        [(i, f"body-{i}") for i in [1, 2, 3, 5, 10, 11, 99]],
+        "doc_id long, content string",
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = dedup_corpus(docs, pairs).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # components {1,2,3} -> survivor 1; {10,11} -> 10; singletons 5, 99
+    assert kept == [1, 5, 10, 99]
+    assert {r["content"] for r in out} == {f"body-{i}" for i in kept}
+
+    surv = dedup_cluster_df(docs, pairs)
+    assert kept == sorted(
+        r["doc_id"] for r in surv.filter("is_survivor").collect()
+    )
