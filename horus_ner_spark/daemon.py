@@ -317,11 +317,20 @@ class ServeDaemon:
                             mode = req.get("mode", "OR")
                             slop = int(req.get("slop", 8))
                             exclude = str(req.get("exclude", ""))
-                            # {"filters": {"repo": ..., "path": ...}}
-                            filters = tuple(sorted(
-                                (str(c), str(v)) for c, v in
-                                dict(req.get("filters") or {}).items()
-                            ))
+                            # {"filters": {"repo": ..., "path": ...}} —
+                            # no str() coercion: a non-string value is a
+                            # client error (400 via ValueError), never a
+                            # silently-empty result
+                            raw = req.get("filters") or {}
+                            if not isinstance(raw, dict) or not all(
+                                isinstance(c, str) and isinstance(v, str)
+                                for c, v in raw.items()
+                            ):
+                                raise ValueError(
+                                    "filters must be an object of "
+                                    "string column -> string value"
+                                )
+                            filters = tuple(sorted(raw.items()))
                         positions = bool(req.get("positions", False))
                         if daemon._pool is not None:
                             compute = lambda: daemon._pool.submit(  # noqa: E731

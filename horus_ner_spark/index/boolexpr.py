@@ -51,7 +51,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 __all__ = ["parse_bool", "BoolNode", "Leaf", "NotNode", "AndNode", "OrNode",
-           "is_bool_query"]
+           "is_bool_query", "all_leaves", "positive_leaves"]
 
 
 @dataclass(frozen=True)
@@ -223,7 +223,14 @@ def parse_bool(text: str) -> BoolNode:
 
     Raises ``ValueError`` on malformed input (unbalanced parens,
     dangling operators, pure-negative (sub)queries, adjacency/AND
-    mixing, double negation); the daemon maps that to HTTP 400."""
+    mixing, double negation, quoted phrases — the boolean grammar has
+    no phrase leaves, and every execution surface shares this parser,
+    so the rejection is uniform); the daemon maps that to HTTP 400."""
+    if '"' in text:
+        raise ValueError(
+            "phrases inside boolean groups are not supported — "
+            'use a flat "..." query (PHRASE mode)'
+        )
     toks = _lex(text)
     if not toks:
         raise ValueError("empty query")
@@ -232,6 +239,26 @@ def parse_bool(text: str) -> BoolNode:
         raise ValueError("pure-negative query — nothing positive to match")
     _validate(node)
     return node
+
+
+def all_leaves(node: BoolNode) -> list[str]:
+    """Every leaf token (negated included), left-to-right — the
+    expansion pre-pass: planners expand each distinct leaf ONCE into a
+    token->terms map shared by the include evaluation and the scoring
+    pass."""
+    out: list[str] = []
+
+    def walk(n: BoolNode) -> None:
+        if isinstance(n, Leaf):
+            out.append(n.token)
+        elif isinstance(n, NotNode):
+            walk(n.child)
+        else:
+            for c in n.children:
+                walk(c)
+
+    walk(node)
+    return out
 
 
 def positive_leaves(node: BoolNode) -> list[str]:

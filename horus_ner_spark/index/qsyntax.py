@@ -114,25 +114,36 @@ def parse_query(
     if not isinstance(text, str):
         raise ValueError("query must be a string")
     lang = default_lang
-    langs = _LANG_RE.findall(text)
+    # selector extraction (lang:/repo:/path:) must never reach INSIDE a
+    # quoted phrase — '"see path:src/ docs"' is a literal phrase, not a
+    # filter ("mixing is a loud error, never a silent reinterpretation"
+    # — and silently mutating a phrase is worse).  Split on '"' and
+    # extract only from the even (outside-quotes) segments.
+    segs = text.split('"')
+    outside = segs[0::2]
+    langs = [m for s in outside for m in _LANG_RE.findall(s)]
     if len(langs) > 1:
         raise ValueError("multiple lang: selectors")
     if langs:
         lang = langs[0]
-        text = _LANG_RE.sub(" ", text, count=1)
+        outside = [_LANG_RE.sub(" ", s, count=1) if _LANG_RE.search(s)
+                   else s for s in outside]
     fdict: dict = {}
-    for fcol, fval in _FILTER_RE.findall(text):
-        if fcol in fdict and fdict[fcol] != fval:
-            raise ValueError(f"multiple {fcol}: selectors")
-        fdict[fcol] = fval
+    for s in outside:
+        for fcol, fval in _FILTER_RE.findall(s):
+            if fcol in fdict and fdict[fcol] != fval:
+                raise ValueError(f"multiple {fcol}: selectors")
+            fdict[fcol] = fval
     if fdict:
-        text = _FILTER_RE.sub(" ", text)
+        outside = [_FILTER_RE.sub(" ", s) for s in outside]
     filters = tuple(sorted(fdict.items()))
-    text = text.strip()
+    segs[0::2] = outside
+    text = '"'.join(segs).strip()
     if not text:
         raise ValueError("empty query")
 
-    if is_bool_query(text):
+    m = _QUOTED_PREFIX_RE.match(text)
+    if m is None and is_bool_query(text):
         # parenthesized boolean expression: validated + executed by the
         # boolean planner (index/boolexpr.py + IndexServer._search_bool);
         # parse here too so malformed input fails at parse time (HTTP
@@ -141,7 +152,6 @@ def parse_query(
         return ParsedQuery(text, lang, "BOOL", default_slop, "",
                            filters)
 
-    m = _QUOTED_PREFIX_RE.match(text)
     if m:
         phrase, rest = m.group(1).strip(), m.group(2).strip()
         if not phrase:

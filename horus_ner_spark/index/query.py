@@ -249,6 +249,7 @@ def facet_counts(
     count; prefix wildcards arrive pre-rewritten (rewrite_prefix_queries,
     OR-only); PHRASE/NEAR are rejected loudly (position verification is
     bm25_wand's job)."""
+    _reject_filters(queries, "facet_counts")
     meta = []
     for q in queries:
         m = q.get("mode", "OR").upper()
@@ -328,6 +329,7 @@ def bm25_bruteforce(
     spark: SparkSession, paths: IndexPaths, queries: list[dict]
 ) -> DataFrame:
     """results(query_id, rank, doc_id, score) via pure DataFrame ops."""
+    _reject_filters(queries, "bm25_bruteforce")
     stats = read_corpus_stats(paths)  # driver-side pyarrow: no Spark job
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qt = spark.createDataFrame(
@@ -399,22 +401,25 @@ def bm25_bool(
         Leaf,
         NotNode,
         OrNode,
+        all_leaves,
         parse_bool,
         positive_leaves,
     )
     from horus_ner_spark.index.fuzzy import expand_fuzzy_spark
 
-    if '"' in expr_text:
-        raise ValueError(
-            "phrases inside boolean groups are not supported — "
-            "use the PHRASE mode on a flat query"
-        )
-    ast = parse_bool(expr_text)
+    ast = parse_bool(expr_text)  # rejects quoted phrases loudly
     stats = read_corpus_stats(paths)
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     tf = spark.read.parquet(paths.tf)
 
-    def leaf_terms(token: str) -> tuple[list[str], str]:
+    def _expand_leaf(token: str) -> tuple[list[str], str]:
+        if "*" in token[:-1] or "~" in token[:-1]:
+            # same contract as IndexServer._leaf_terms: loud, never a
+            # silent empty expansion
+            raise ValueError(
+                f"wildcard {token!r}: '*'/'~' are supported only as a "
+                "single trailing character"
+            )
         if len(token) > 1 and token.endswith("*"):
             return expand_prefix_spark(spark, paths, token[:-1], lang)[0], "any"
         if len(token) > 1 and token.endswith("~"):
@@ -425,6 +430,14 @@ def bm25_bool(
                 "single trailing character"
             )
         return sorted(set(tokenize(token, lang))), "all"
+
+    # one dictionary expansion per DISTINCT leaf, shared by the include
+    # evaluation and the scoring-term collection
+    leafmap = {tok: _expand_leaf(tok)
+               for tok in dict.fromkeys(all_leaves(ast))}
+
+    def leaf_terms(token: str) -> tuple[list[str], str]:
+        return leafmap[token]
 
     def docs_of(node) -> DataFrame | None:
         """Distinct doc_id frame of the node's match set (None = empty)."""
@@ -1342,6 +1355,19 @@ def _validate_modes(modes: dict[int, str], fn: str) -> None:
             )
 
 
+def _reject_filters(queries: list[dict], fn: str) -> None:
+    """Loud, not silent: the flat bulk kernels have no metadata-filter
+    path — a ``filters`` key must never be dropped on the floor
+    (bm25_bool and IndexServer.search implement filters)."""
+    for q in queries:
+        if q.get("filters"):
+            raise ValueError(
+                f"{fn} does not support metadata filters (query_id "
+                f"{q.get('query_id')}); route the query through bm25_bool "
+                "or IndexServer.search(filters=...)"
+            )
+
+
 def _validate_slops(slops: dict[int, int]) -> None:
     """Driver-side NEAR slop validation — same contract as the kernel's
     (_dispatch_query), applied before any Spark job launches."""
@@ -1443,6 +1469,7 @@ def bm25_wand(
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
     _validate_modes(modes, "bm25_wand")
+    _reject_filters(queries, "bm25_wand")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
@@ -1754,6 +1781,7 @@ def _rb_fanout_distributed(
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
     _validate_modes(modes, "_rb_fanout_distributed")
+    _reject_filters(queries, "_rb_fanout_distributed")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries
@@ -2089,6 +2117,7 @@ def bm25_wand_segments(
     ks = {q["query_id"]: q.get("k", 10) for q in queries}
     modes = {q["query_id"]: q.get("mode", "OR").upper() for q in queries}
     _validate_modes(modes, "bm25_wand_segments")
+    _reject_filters(queries, "bm25_wand_segments")
     phrases = {
         q["query_id"]: tokenize(q["query_text"], q.get("lang", "python"))
         for q in queries

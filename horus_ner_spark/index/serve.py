@@ -301,6 +301,10 @@ class IndexServer:
         # lazily on the first facets() call — see _doc_values
         self._docvals: dict[str, tuple[np.ndarray, np.ndarray, list]] = {}
         self._docvals_lock = threading.Lock()
+        # (col, value) -> complement doc-id exclusion (metadata filters);
+        # entries are immutable arrays, LRU-bounded in _filter_exclude
+        self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._filter_lock = threading.Lock()
         self._cache: OrderedDict[str, tuple[int, pd.DataFrame]] = OrderedDict()
         self._cache_terms = cache_terms
         self.cache_hits = 0
@@ -797,7 +801,17 @@ class IndexServer:
             )
         return sorted(set(tokenize(token, lang))), "all"
 
-    def _bool_include(self, node, lang: str):
+    def _leaf_map(self, node, lang: str) -> dict:
+        """Expand every DISTINCT leaf token of a boolexpr AST exactly once
+        -> {token: (terms, 'any'|'all')} — shared by the include
+        evaluation and the scoring-term collection, so a prefix/fuzzy
+        leaf costs one dictionary expansion per query, not two."""
+        from horus_ner_spark.index.boolexpr import all_leaves
+
+        return {tok: self._leaf_terms(tok, lang)
+                for tok in dict.fromkeys(all_leaves(node))}
+
+    def _bool_include(self, node, lang: str, leafmap: dict | None = None):
         """Evaluate a boolexpr AST to the sorted live doc-id match set
         (None = empty).  Set algebra over per-term live doc sets — every
         leaf fetch is the same LRU-shared postings decode the scorer
@@ -809,8 +823,10 @@ class IndexServer:
             OrNode,
         )
 
+        if leafmap is None:
+            leafmap = self._leaf_map(node, lang)
         if isinstance(node, Leaf):
-            terms, req = self._leaf_terms(node.token, lang)
+            terms, req = leafmap[node.token]
             if not terms:
                 return None
             if req == "any":
@@ -825,7 +841,8 @@ class IndexServer:
                     return None
             return out
         if isinstance(node, OrNode):
-            sets = [self._bool_include(c, lang) for c in node.children]
+            sets = [self._bool_include(c, lang, leafmap)
+                    for c in node.children]
             sets = [s for s in sets if s is not None and len(s)]
             if not sets:
                 return None
@@ -838,14 +855,14 @@ class IndexServer:
             neg = [c.child for c in node.children if isinstance(c, NotNode)]
             out = None
             for c in pos:  # parse_bool validated >=1 positive clause
-                s = self._bool_include(c, lang)
+                s = self._bool_include(c, lang, leafmap)
                 if s is None:
                     return None
                 out = s if out is None else out[_in_sorted(s, out)]
                 if not len(out):
                     return None
             for c in neg:
-                s = self._bool_include(c, lang)
+                s = self._bool_include(c, lang, leafmap)
                 if s is not None and len(s):
                     out = np.setdiff1d(out, s)
                     if not len(out):
@@ -868,17 +885,13 @@ class IndexServer:
         score; ranking is (-score, doc_id)."""
         from horus_ner_spark.index.boolexpr import parse_bool, positive_leaves
 
-        if '"' in query_text:
-            raise ValueError(
-                "phrases inside boolean groups are not supported — "
-                "use a flat \"...\" query"
-            )
-        ast = parse_bool(query_text)
+        ast = parse_bool(query_text)  # rejects quoted phrases loudly
         cols = ["rank", "doc_id", "score"] + (
             ["positions"] if with_positions else []
         )
         empty = pd.DataFrame(columns=cols)
-        include = self._bool_include(ast, lang)
+        leafmap = self._leaf_map(ast, lang)  # one expansion per leaf
+        include = self._bool_include(ast, lang, leafmap)
         if include is None or not len(include):
             return empty
         user_exclude = self._user_exclude(exclude_text, lang)
@@ -888,7 +901,7 @@ class IndexServer:
                             else np.union1d(user_exclude, fx))
         sterms: set[str] = set()
         for tok in positive_leaves(ast):
-            sterms.update(self._leaf_terms(tok, lang)[0])
+            sterms.update(leafmap[tok][0])
         loaded = self._load_terms(sorted(sterms))
         if not loaded:
             return empty
@@ -990,8 +1003,11 @@ class IndexServer:
         stats are corpus-level; a filter narrows the candidate set, it
         does not re-weight it — the Lucene filter-context contract).
         Union of per-filter complements == complement of the filters'
-        intersection.  Cost: one in-memory doc-values pass per filter
-        column (O(n_docs) int arrays, loaded once per server)."""
+        intersection.  Cost: amortized O(1) per repeat filter — each
+        (col, value) exclusion array is computed once from the in-memory
+        doc-values and memoized (LRU, bounded), so a UI pinned to
+        ``repo:X`` pays the O(n_docs) complement pass on the first
+        query only."""
         if not filters:
             return None
         out = None
@@ -1003,18 +1019,28 @@ class IndexServer:
                 )
             if not isinstance(want, str) or not want:
                 raise ValueError(f"filter {col!r} needs a non-empty string")
-            ids, codes, cats = self._doc_values(col)
-            if col == "repo":
-                try:
-                    mask = codes == cats.index(want)
-                except ValueError:  # repo not in corpus: everything excluded
-                    mask = np.zeros(len(ids), dtype=bool)
-            else:  # path: prefix match on the category dictionary
-                ok = np.flatnonzero(np.char.startswith(
-                    np.asarray(cats, dtype="str"), want
-                ))
-                mask = np.isin(codes, ok)
-            excl = ids[~mask]
+            key = (col, want)
+            with self._filter_lock:
+                excl = self._filter_cache.get(key)
+                if excl is not None:
+                    self._filter_cache.move_to_end(key)
+            if excl is None:
+                ids, codes, cats = self._doc_values(col)
+                if col == "repo":
+                    try:
+                        mask = codes == cats.index(want)
+                    except ValueError:  # repo absent: everything excluded
+                        mask = np.zeros(len(ids), dtype=bool)
+                else:  # path: prefix match on the category dictionary
+                    ok = np.flatnonzero(np.char.startswith(
+                        np.asarray(cats, dtype="str"), want
+                    ))
+                    mask = np.isin(codes, ok)
+                excl = ids[~mask]
+                with self._filter_lock:
+                    self._filter_cache[key] = excl
+                    while len(self._filter_cache) > 64:
+                        self._filter_cache.popitem(last=False)
             out = excl if out is None else np.union1d(out, excl)
         return out
 

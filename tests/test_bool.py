@@ -301,3 +301,23 @@ def test_bulk_paths_reject_bool_mode(spark, sf001_index):
             {"query_id": 0, "query_text": "(cache OR buffer)",
              "mode": "BOOL", "k": 5},
         ])
+
+
+def test_quoted_phrase_with_parens_routes_to_phrase():
+    """A fully-quoted phrase containing parens is PHRASE, not BOOL
+    (review fix: is_bool_query ran before quote handling)."""
+    p = parse_query('"(cache node)"')
+    assert p.mode == "PHRASE" and p.query_text == "(cache node)"
+
+
+def test_facets_bool_rejects_quotes(server):
+    with pytest.raises(ValueError, match="phrase"):
+        server.facets('("cache" AND stream)', "python", mode="BOOL")
+
+
+def test_bm25_bool_rejects_embedded_wildcard(spark, sf001_index):
+    from horus_ner_spark.index.query import bm25_bool
+
+    _cp, paths = sf001_index
+    with pytest.raises(ValueError, match="single trailing"):
+        bm25_bool(spark, paths, "(ca*che* AND stream)", "python")

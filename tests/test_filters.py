@@ -195,3 +195,67 @@ def test_search_batch_routes_bool_and_filters(server, sample_meta):
     for qid, want in [(0, want0), (1, want1), (2, want2)]:
         got = out[out["query_id"] == qid]
         assert list(got["doc_id"]) == list(want["doc_id"]), qid
+
+
+def test_selectors_not_extracted_inside_quotes():
+    """'\"see path:src/ docs\"' is a literal phrase — the selector regex
+    must never mutate quoted text (review fix)."""
+    p = parse_query('"see path:src/ docs"')
+    assert p.mode == "PHRASE"
+    assert p.query_text == "see path:src/ docs"
+    assert p.filters == ()
+    # selectors OUTSIDE the quotes still work alongside a phrase
+    p = parse_query('repo:org1/p "see path:src/ docs"')
+    assert p.mode == "PHRASE"
+    assert p.query_text == "see path:src/ docs"
+    assert p.filters == (("repo", "org1/p"),)
+    # lang: has the same protection
+    p = parse_query('"use lang:python here"')
+    assert p.mode == "PHRASE" and p.lang == "python"
+    assert p.query_text == "use lang:python here"
+
+
+def test_bulk_kernels_reject_filters(spark, sf001_index):
+    from horus_ner_spark.index.query import bm25_bruteforce, bm25_wand
+
+    _cp, paths = sf001_index
+    q = [{"query_id": 0, "query_text": "cache", "k": 5,
+          "filters": {"repo": "r"}}]
+    with pytest.raises(ValueError, match="metadata filters"):
+        bm25_wand(spark, paths, q)
+    with pytest.raises(ValueError, match="metadata filters"):
+        bm25_bruteforce(spark, paths, q)
+
+
+def test_daemon_rejects_nonstring_filters(sf001_index):
+    import urllib.error
+
+    from horus_ner_spark.daemon import ServeDaemon
+
+    from tests.test_daemon import _post
+
+    _cp, paths = sf001_index
+    daemon = ServeDaemon(paths.root).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(daemon.port, "/search",
+                  {"query_text": "cache", "k": 5,
+                   "filters": {"repo": 123}})
+        assert exc.value.code == 400
+        # daemon survives; valid request still works
+        code, _ = _post(daemon.port, "/search",
+                        {"query_text": "cache", "k": 5})
+        assert code == 200
+    finally:
+        daemon.shutdown()
+
+
+def test_filter_exclusion_cache_reused(server, sample_meta):
+    repo, _ = sample_meta
+    server._filter_cache.clear()
+    a = server.search("cache", "python", k=5, filters={"repo": repo})
+    assert ("repo", repo) in server._filter_cache
+    cached = server._filter_cache[("repo", repo)]
+    b = server.search("buffer", "python", k=5, filters={"repo": repo})
+    assert server._filter_cache[("repo", repo)] is cached
+    assert not a.empty or not b.empty
