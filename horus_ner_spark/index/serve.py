@@ -1185,7 +1185,23 @@ class IndexServer:
 
         from horus_ner_spark.functions.tokenizer import tokenize_arrow_batch
 
-        terms = set(tokenize(query_text, lang))
+        from horus_ner_spark.index.boolexpr import (
+            is_bool_query,
+            parse_bool,
+            positive_leaves,
+        )
+
+        if is_bool_query(query_text):
+            # boolean query: score lines by the POSITIVE leaves' terms
+            # (prefix/fuzzy leaves expanded via the dictionary); NOT-ed
+            # terms can't appear in the vetoed hit docs anyway
+            ast = parse_bool(query_text)
+            leafmap = self._leaf_map(ast, lang)
+            terms: set[str] = set()
+            for tok in positive_leaves(ast):
+                terms.update(leafmap[tok][0])
+        else:
+            terms = set(tokenize(query_text, lang))
         out_cols = ["doc_id", "repo", "path", "line_no", "n_query_terms",
                     "snippet"]
         keys = self.doc_keys(doc_ids)

@@ -321,3 +321,21 @@ def test_bm25_bool_rejects_embedded_wildcard(spark, sf001_index):
     _cp, paths = sf001_index
     with pytest.raises(ValueError, match="single trailing"):
         bm25_bool(spark, paths, "(ca*che* AND stream)", "python")
+
+
+def test_snippets_for_bool_query(server, sf001_index):
+    """Snippets over a boolean query's hits score lines by the positive
+    leaves' expanded terms."""
+    cp, _paths = sf001_index
+    q = "(cache OR buffer) AND stream AND NOT mutex"
+    hits = server.search(q, "python", k=5, mode="BOOL")
+    assert not hits.empty
+    sn = server.snippets(q, hits["doc_id"], cp)
+    assert len(sn) == len(hits)
+    assert (sn["n_query_terms"] >= 1).all()
+    # each best line actually contains at least one positive query term
+    for r in sn.itertuples():
+        from horus_ner_spark.functions.tokenizer import tokenize
+
+        line_terms = set(tokenize(r.snippet, "python"))
+        assert line_terms & {"cache", "buffer", "stream"}
