@@ -396,20 +396,63 @@ def bm25_bool(
     to the broadcast POSITIVE-leaf terms only (filter clauses gate
     membership, contribute no score), one groupBy(doc_id) sum,
     semi-joined to the match set before the top-k window."""
+    from horus_ner_spark.index.boolexpr import parse_bool, positive_leaves
+
+    ast = parse_bool(expr_text)  # rejects quoted phrases loudly
+    stats = read_corpus_stats(paths)
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    include, leafmap = _bool_match_frame(spark, paths, ast, lang, filters)
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    if include is None:
+        return empty
+    sterms: set[str] = set()
+    for tok in positive_leaves(ast):
+        sterms.update(leafmap[tok][0])
+    if not sterms:
+        return empty
+    tf = spark.read.parquet(paths.tf)
+    qt = spark.createDataFrame(
+        [(t,) for t in sorted(sterms)], "term string"
+    )
+    term_stats = (
+        spark.read.parquet(paths.term_stats)
+        .join(F.broadcast(qt), "term")
+        .select("term", "df")
+    )
+    top = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_stats), "term")
+        .withColumn("contrib", _bm25_expr(n_docs, avgdl))
+        .groupBy("doc_id")
+        .agg(F.bround(F.sum("contrib"), bm25.QUANT).alias("score"))
+        .join(include, "doc_id", "left_semi")
+        # orderBy+limit -> TakeOrderedAndProject: per-partition k-heaps,
+        # never a single-partition sort of the full match set
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # <= k rows
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+def _bool_match_frame(spark, paths, ast, lang, filters):
+    """Shared include-set computation for the boolean bulk surfaces ->
+    (distinct doc_id DataFrame or None, leaf token -> (terms, kind) map).
+    One dictionary expansion per DISTINCT leaf; metadata filters arrive
+    as a docs-table predicate semi-join (pushdown-friendly)."""
     from horus_ner_spark.index.boolexpr import (
         AndNode,
         Leaf,
         NotNode,
         OrNode,
         all_leaves,
-        parse_bool,
-        positive_leaves,
     )
     from horus_ner_spark.index.fuzzy import expand_fuzzy_spark
 
-    ast = parse_bool(expr_text)  # rejects quoted phrases loudly
-    stats = read_corpus_stats(paths)
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     tf = spark.read.parquet(paths.tf)
 
     def _expand_leaf(token: str) -> tuple[list[str], str]:
@@ -479,10 +522,9 @@ def bm25_bool(
             return out
         raise AssertionError(f"unknown boolexpr node {type(node).__name__}")
 
-    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
     include = docs_of(ast)
     if include is None:
-        return empty
+        return None, leafmap
     if filters:
         # metadata filters (repo exact / path prefix): a pushdown-friendly
         # docs-table predicate semi-joined into the match set — the bulk
@@ -501,36 +543,43 @@ def bm25_bool(
         include = include.join(
             dsel.select("doc_id"), "doc_id", "left_semi"
         )
-    sterms: set[str] = set()
-    for tok in positive_leaves(ast):
-        sterms.update(leaf_terms(tok)[0])
-    if not sterms:
-        return empty
-    qt = spark.createDataFrame(
-        [(t,) for t in sorted(sterms)], "term string"
+    return include, leafmap
+
+
+def facet_counts_bool(
+    spark: SparkSession,
+    paths: IndexPaths,
+    expr_text: str,
+    lang: str = "python",
+    by: tuple = ("lang", "repo"),
+    filters: dict | None = None,
+) -> DataFrame:
+    """Facet counts over the FULL match set of ONE boolean query ->
+    (facet, value, n_docs) — the bulk/offline twin of
+    ``IndexServer.facets(mode="BOOL")``, sharing the include-set
+    computation with :func:`bm25_bool` (same set algebra, same filter
+    semi-join), then one docs-table join + ``stack`` melt + count like
+    :func:`facet_counts`."""
+    from horus_ner_spark.index.boolexpr import parse_bool
+
+    ast = parse_bool(expr_text)
+    include, _leafmap = _bool_match_frame(spark, paths, ast, lang, filters)
+    if include is None:
+        return spark.createDataFrame(
+            [], "facet string, value string, n_docs long"
+        )
+    docs = spark.read.parquet(paths.docs).select("doc_id", *by)
+    stack_expr = (
+        f"stack({len(by)}, "
+        + ", ".join(f"'{c}', {c}" for c in by)
+        + ") as (facet, value)"
     )
-    term_stats = (
-        spark.read.parquet(paths.term_stats)
-        .join(F.broadcast(qt), "term")
-        .select("term", "df")
-    )
-    top = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(term_stats), "term")
-        .withColumn("contrib", _bm25_expr(n_docs, avgdl))
-        .groupBy("doc_id")
-        .agg(F.bround(F.sum("contrib"), bm25.QUANT).alias("score"))
-        .join(include, "doc_id", "left_semi")
-        # orderBy+limit -> TakeOrderedAndProject: per-partition k-heaps,
-        # never a single-partition sort of the full match set
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # <= k rows
     return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
-        .orderBy("rank")
+        include.join(docs, "doc_id")
+        .selectExpr(stack_expr)
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("facet", F.desc("n_docs"), "value")
     )
 
 

@@ -339,3 +339,35 @@ def test_snippets_for_bool_query(server, sf001_index):
 
         line_terms = set(tokenize(r.snippet, "python"))
         assert line_terms & {"cache", "buffer", "stream"}
+
+
+def test_facet_counts_bool_matches_serve(spark, sf001_index, server,
+                                         sample_meta_bool):
+    from horus_ner_spark.index.query import facet_counts_bool
+
+    _cp, paths = sf001_index
+    expr = "(cache OR buffer) AND stream AND NOT mutex"
+    got = facet_counts_bool(spark, paths, expr, "python",
+                            by=("lang", "repo")).toPandas()
+    want = server.facets(expr, "python", mode="BOOL", by=("lang", "repo"))
+    g = sorted(map(tuple, got[["facet", "value", "n_docs"]].itertuples(
+        index=False)))
+    w = sorted(map(tuple, want[["facet", "value", "n_docs"]].itertuples(
+        index=False)))
+    assert g == w
+    # with a metadata filter too
+    repo = sample_meta_bool
+    got = facet_counts_bool(spark, paths, expr, "python", by=("repo",),
+                            filters={"repo": repo}).toPandas()
+    want = server.facets(expr, "python", mode="BOOL", by=("repo",),
+                         filters={"repo": repo})
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        sorted(map(tuple, want.itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def sample_meta_bool(server):
+    """A repo present in the bool query's match set."""
+    hit = server.search("(cache OR buffer) AND stream AND NOT mutex",
+                        "python", k=1, mode="BOOL")
+    return server.doc_keys(hit["doc_id"]).iloc[0]["repo"]
