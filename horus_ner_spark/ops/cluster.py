@@ -100,7 +100,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 50,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Pairs (src, dst) -> (node, component) for every node that appears
     in at least one pair; ``component`` is the MINIMUM node id of the
