@@ -7,7 +7,7 @@
 # then stops.  Sentinel /tmp/scaling_running marks the measurement window
 # so interactive work can hold off.
 cd /root/repo
-LOG=/root/repo/scaling_sf08_r5v7b.log
+LOG=/root/repo/scaling_sf08_r5s2.log
 PROBELOG=/tmp/calm_scaling_probes.log
 : > "$PROBELOG"
 streak=0
@@ -20,7 +20,7 @@ for i in $(seq 1 60); do
     echo "$(date +%H:%M:%S) CALM (calib=$c) — running v7 scaling reps" >> "$PROBELOG"
     touch /tmp/scaling_running
     ( while [ -f /tmp/scaling_running ]; do
-        echo "$(date +%H:%M:%S) $(cat /proc/loadavg)" >> /root/repo/loadavg_r5v7b.log
+        echo "$(date +%H:%M:%S) $(cat /proc/loadavg)" >> /root/repo/loadavg_r5s2.log
         sleep 30
       done ) &
     SIDECAR=$!
